@@ -1,0 +1,15 @@
+from multimodal_sc_tpu.channel.layer import (
+    CHANNEL_KINDS,
+    awgn,
+    channel,
+    power_normalize,
+    rayleigh,
+)
+
+__all__ = [
+    "CHANNEL_KINDS",
+    "awgn",
+    "channel",
+    "power_normalize",
+    "rayleigh",
+]

@@ -1,0 +1,154 @@
+"""Camera CNN-JSCC encoder/decoder (deep joint source-channel coding).
+
+Spec: BASELINE.json:5 ("camera JSCC (joint source-channel coding) CNN/ViT
+encoder-decoder") and BASELINE.json:7 (config 1: single-camera CNN JSCC
+autoencoder over AWGN, CIFAR/KITTI crops). The reference repo has no code
+(``/root/reference/README.md:1-2``); architecture follows the standard
+deep-JSCC pattern (Bourtsoulatze et al. 2019): strided conv downsampling
+with PReLU, a final conv to ``2*c_sym`` feature maps reshaped into complex
+channel symbols, and a mirrored transpose-conv decoder.
+
+TPU-first notes:
+  * NHWC layout (XLA:TPU's native conv layout); channel counts kept at
+    multiples of 8/128-friendly sizes so Mosaic/XLA tiles onto the MXU.
+  * SNR conditioning: optional per-example snr_db is embedded with a small
+    MLP and FiLM-modulates the bottleneck, so a single model serves a whole
+    SNR range (config 2, BASELINE.json:8).
+  * ``param_dtype`` float32, activations optionally bfloat16 for MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+class PReLU(nn.Module):
+    """Parametric ReLU with a learned per-channel negative slope."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        alpha = self.param(
+            "alpha", nn.initializers.constant(0.25), (x.shape[-1],), jnp.float32
+        )
+        return jnp.where(x >= 0, x, x * alpha.astype(x.dtype))
+
+
+class SNRFiLM(nn.Module):
+    """FiLM modulation from an SNR(dB) scalar: x -> x * (1+g(snr)) + b(snr)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: Array, snr_db: Array) -> Array:
+        # snr_db: (B,) -> (B, 1). Normalize to roughly [-1, 1] over [-5, 25].
+        s = (snr_db.reshape(-1, 1).astype(x.dtype) - 10.0) / 15.0
+        h = nn.Dense(64, name="fc1")(s)
+        h = nn.relu(h)
+        gb = nn.Dense(2 * self.features, name="fc2")(h)
+        gamma, beta = jnp.split(gb, 2, axis=-1)
+        shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (self.features,)
+        return x * (1.0 + gamma.reshape(shape)) + beta.reshape(shape)
+
+
+class CameraEncoderCNN(nn.Module):
+    """Image (B,H,W,3) in [0,1] -> channel symbols (B, k, 2).
+
+    Downsamples by 4 (two stride-2 convs); the final conv emits 2*c_sym
+    channels interpreted as (real, imag) pairs: k = (H/4)*(W/4)*c_sym.
+    """
+
+    features: Sequence[int] = (32, 64, 128, 128)
+    c_sym: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img: Array, snr_db: Optional[Array] = None) -> Array:
+        x = img.astype(self.dtype)
+        strides = (2, 2, 1, 1)
+        for i, (f, s) in enumerate(zip(self.features, strides)):
+            x = nn.Conv(f, (5, 5), strides=(s, s), padding="SAME",
+                        dtype=self.dtype, name=f"conv{i}")(x)
+            x = PReLU(name=f"prelu{i}")(x)
+        if snr_db is not None:
+            x = SNRFiLM(self.features[-1], name="snr_film")(x, snr_db)
+        x = nn.Conv(2 * self.c_sym, (5, 5), padding="SAME",
+                    dtype=self.dtype, name="conv_out")(x)
+        b, h, w, _ = x.shape
+        return x.reshape(b, h * w * self.c_sym, 2).astype(jnp.float32)
+
+
+class CameraDecoderCNN(nn.Module):
+    """Channel symbols (B, k, 2) -> reconstructed image (B,H,W,3) in [0,1]."""
+
+    features: Sequence[int] = (128, 128, 64, 32)
+    c_sym: int = 8
+    image_hw: tuple = (32, 32)
+    out_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z_hat: Array, snr_db: Optional[Array] = None) -> Array:
+        b = z_hat.shape[0]
+        h, w = self.image_hw[0] // 4, self.image_hw[1] // 4
+        x = z_hat.reshape(b, h, w, 2 * self.c_sym).astype(self.dtype)
+        x = nn.Conv(self.features[0], (5, 5), padding="SAME",
+                    dtype=self.dtype, name="conv_in")(x)
+        x = PReLU(name="prelu_in")(x)
+        if snr_db is not None:
+            x = SNRFiLM(self.features[0], name="snr_film")(x, snr_db)
+        strides = (1, 1, 2, 2)
+        for i, (f, s) in enumerate(zip(self.features, strides)):
+            if s == 1:
+                x = nn.Conv(f, (5, 5), padding="SAME",
+                            dtype=self.dtype, name=f"conv{i}")(x)
+            else:
+                x = nn.ConvTranspose(f, (5, 5), strides=(s, s), padding="SAME",
+                                     dtype=self.dtype, name=f"deconv{i}")(x)
+            x = PReLU(name=f"prelu{i}")(x)
+        x = nn.Conv(self.out_channels, (5, 5), padding="SAME",
+                    dtype=self.dtype, name="conv_out")(x)
+        return nn.sigmoid(x.astype(jnp.float32))
+
+
+class CameraJSCC(nn.Module):
+    """Bundled encoder/decoder so one param tree serves both directions."""
+
+    features: Sequence[int] = (32, 64, 128, 128)
+    c_sym: int = 8
+    image_hw: tuple = (32, 32)
+    out_channels: int = 3
+    snr_conditioning: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = CameraEncoderCNN(
+            features=self.features, c_sym=self.c_sym, dtype=self.dtype
+        )
+        self.decoder = CameraDecoderCNN(
+            features=tuple(reversed(self.features)),
+            c_sym=self.c_sym,
+            image_hw=self.image_hw,
+            out_channels=self.out_channels,
+            dtype=self.dtype,
+        )
+
+    def encode(self, img: Array, snr_db: Optional[Array] = None) -> Array:
+        return self.encoder(img, snr_db if self.snr_conditioning else None)
+
+    def decode(self, z_hat: Array, snr_db: Optional[Array] = None) -> Array:
+        return self.decoder(z_hat, snr_db if self.snr_conditioning else None)
+
+    def __call__(self, img: Array, snr_db: Optional[Array] = None) -> Array:
+        # Init/inspection path: encode then decode through an ideal channel.
+        return self.decode(self.encode(img, snr_db), snr_db)
+
+    @property
+    def k(self) -> int:
+        h, w = self.image_hw
+        return (h // 4) * (w // 4) * self.c_sym

@@ -1,0 +1,172 @@
+"""Frozen dataclass configuration system with 5 named presets.
+
+Spec: BASELINE.json:7-11 names five driver configs; SURVEY.md §5.6 mandates
+frozen dataclasses, presets, and dotted-path CLI overrides with no external
+dependency. Reference repo has no config system (``README.md:1-2``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+def _replace_path(obj, path: str, value):
+    """Immutable dotted-path override: replace(cfg, 'a.b.c', v)."""
+    head, _, rest = path.partition(".")
+    if not hasattr(obj, head):
+        raise KeyError(f"no config field {head!r} on {type(obj).__name__}")
+    if rest:
+        sub = _replace_path(getattr(obj, head), rest, value)
+        return dataclasses.replace(obj, **{head: sub})
+    current = getattr(obj, head)
+    if current is not None and not isinstance(current, type(value)):
+        # Coerce strings from the CLI into the field's current type.
+        if isinstance(current, bool):
+            value = str(value).lower() in ("1", "true", "yes")
+        elif isinstance(current, int):
+            value = int(value)
+        elif isinstance(current, float):
+            value = float(value)
+        elif isinstance(current, tuple):
+            value = tuple(type(current[0])(v) for v in str(value).split(","))
+    return dataclasses.replace(obj, **{head: value})
+
+
+@dataclass(frozen=True)
+class ChannelConfig:
+    kind: str = "awgn"            # ideal | awgn | rayleigh
+    snr_db: float = 10.0
+    snr_min_db: float = -5.0      # for per-example SNR sweep training
+    snr_max_db: float = 25.0
+    random_snr: bool = False
+    normalize: bool = True
+
+
+@dataclass(frozen=True)
+class CameraCodecConfig:
+    arch: str = "cnn"             # cnn | vit
+    image_hw: Tuple[int, int] = (32, 32)
+    features: Tuple[int, ...] = (32, 64, 128, 128)
+    c_sym: int = 8
+    snr_conditioning: bool = False
+    # ViT-specific
+    patch: int = 4
+    dim: int = 128
+    depth: int = 4
+    heads: int = 4
+
+
+@dataclass(frozen=True)
+class LidarCodecConfig:
+    enabled: bool = False
+    max_points: int = 1024
+    max_pillars: int = 256
+    points_per_pillar: int = 16
+    bev_hw: Tuple[int, int] = (16, 16)
+    point_features: int = 4       # x, y, z, intensity
+    pillar_dim: int = 64
+    c_sym: int = 4
+    x_range: Tuple[float, float] = (0.0, 48.0)
+    y_range: Tuple[float, float] = (-12.0, 12.0)
+
+
+@dataclass(frozen=True)
+class FusionConfig:
+    mode: str = "cross_attention"  # cross_attention | late_concat
+    dim: int = 128
+    depth: int = 2
+    heads: int = 4
+    state_dim: int = 128
+
+
+@dataclass(frozen=True)
+class EnvConfig:
+    name: str = "drive-v0"
+    num_npcs: int = 4
+    image_hw: Tuple[int, int] = (32, 32)
+    lidar_rays: int = 64
+    max_steps: int = 128
+    dt: float = 0.1
+    num_lanes: int = 3
+    lane_width: float = 4.0
+
+
+@dataclass(frozen=True)
+class RLConfig:
+    algo: str = "dqn"             # dqn | ppo
+    num_actions: int = 9          # 3 steer x 3 accel
+    gamma: float = 0.99
+    # DQN
+    replay_capacity: int = 16384
+    batch_size: int = 128
+    target_update_period: int = 200
+    eps_start: float = 1.0
+    eps_end: float = 0.05
+    eps_decay_steps: int = 20000
+    double_dqn: bool = True
+    # PPO
+    rollout_length: int = 64
+    num_envs: int = 32
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    ppo_epochs: int = 4
+    num_minibatches: int = 4
+    value_coef: float = 0.5
+    entropy_coef: float = 0.01
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    task: str = "jscc"            # jscc | dqn | ppo
+    steps: int = 1000
+    batch_size: int = 64
+    lr: float = 1e-3
+    warmup_steps: int = 100
+    eval_every: int = 200
+    log_every: int = 50
+    checkpoint_every: int = 500
+    checkpoint_dir: Optional[str] = None
+    seed: int = 0
+    dataset: str = "synthetic_cifar"  # synthetic_cifar | synthetic_kitti | cifar | kitti
+    grad_clip: float = 1.0
+    bf16: bool = False
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    data_axis: int = -1           # -1 = all available devices
+    model_axis: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "c1_jscc_awgn"
+    channel: ChannelConfig = field(default_factory=ChannelConfig)
+    camera: CameraCodecConfig = field(default_factory=CameraCodecConfig)
+    lidar: LidarCodecConfig = field(default_factory=LidarCodecConfig)
+    fusion: FusionConfig = field(default_factory=FusionConfig)
+    env: EnvConfig = field(default_factory=EnvConfig)
+    rl: RLConfig = field(default_factory=RLConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    use_pallas: bool = False      # flip on to use fused Pallas kernels
+
+    def override(self, **dotted: Any) -> "ExperimentConfig":
+        cfg = self
+        for path, value in dotted.items():
+            cfg = _replace_path(cfg, path, value)
+        return cfg
+
+    def override_str(self, assignments) -> "ExperimentConfig":
+        cfg = self
+        for a in assignments:
+            path, _, value = a.partition("=")
+            cfg = _replace_path(cfg, path.strip(), value.strip())
+        return cfg
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)

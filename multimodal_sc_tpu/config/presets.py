@@ -1,0 +1,98 @@
+"""The five named presets mirroring BASELINE.json:7-11 exactly."""
+
+from __future__ import annotations
+
+import dataclasses
+
+from multimodal_sc_tpu.config.configs import (
+    CameraCodecConfig,
+    ChannelConfig,
+    ExperimentConfig,
+    FusionConfig,
+    LidarCodecConfig,
+    RLConfig,
+    TrainConfig,
+)
+
+
+def c1_jscc_awgn() -> ExperimentConfig:
+    """Config 1 (BASELINE.json:7): single-camera CNN JSCC autoencoder over
+    AWGN at fixed SNR, CIFAR/KITTI crops."""
+    return ExperimentConfig(
+        name="c1_jscc_awgn",
+        channel=ChannelConfig(kind="awgn", snr_db=10.0),
+        camera=CameraCodecConfig(arch="cnn"),
+        train=TrainConfig(task="jscc", steps=2000, dataset="synthetic_cifar"),
+    )
+
+
+def c2_snr_sweep() -> ExperimentConfig:
+    """Config 2 (BASELINE.json:8): SNR-sweep JSCC eval (AWGN + Rayleigh,
+    power-normalized) with PSNR/mIoU curves; SNR-conditioned model."""
+    return ExperimentConfig(
+        name="c2_snr_sweep",
+        channel=ChannelConfig(kind="awgn", random_snr=True),
+        camera=CameraCodecConfig(arch="cnn", snr_conditioning=True),
+        train=TrainConfig(task="jscc", steps=3000, dataset="synthetic_cifar"),
+    )
+
+
+def c3_lidar_fusion() -> ExperimentConfig:
+    """Config 3 (BASELINE.json:9): LiDAR point-cloud -> BEV pillar encoder +
+    camera branch, late-fusion semantic TX."""
+    return ExperimentConfig(
+        name="c3_lidar_fusion",
+        channel=ChannelConfig(kind="awgn", snr_db=10.0),
+        camera=CameraCodecConfig(arch="vit"),
+        lidar=LidarCodecConfig(enabled=True),
+        fusion=FusionConfig(mode="late_concat"),
+        train=TrainConfig(task="jscc", steps=2000, dataset="synthetic_kitti"),
+    )
+
+
+def c4_dqn_fusion() -> ExperimentConfig:
+    """Config 4 (BASELINE.json:10): cross-attention fusion transformer + DQN
+    driving policy, batched replay on-device."""
+    return ExperimentConfig(
+        name="c4_dqn_fusion",
+        channel=ChannelConfig(kind="awgn", snr_db=10.0),
+        camera=CameraCodecConfig(arch="cnn"),
+        lidar=LidarCodecConfig(enabled=True),
+        fusion=FusionConfig(mode="cross_attention"),
+        rl=RLConfig(algo="dqn"),
+        train=TrainConfig(task="dqn", steps=5000, batch_size=128),
+    )
+
+
+def c5_ppo_mesh() -> ExperimentConfig:
+    """Config 5 (BASELINE.json:11): closed-loop PPO driving agent with
+    end-to-end semantic-comm on a TPU mesh."""
+    return ExperimentConfig(
+        name="c5_ppo_mesh",
+        channel=ChannelConfig(kind="awgn", snr_db=10.0),
+        camera=CameraCodecConfig(arch="cnn"),
+        lidar=LidarCodecConfig(enabled=True),
+        fusion=FusionConfig(mode="cross_attention"),
+        rl=RLConfig(algo="ppo"),
+        train=TrainConfig(task="ppo", steps=500),
+    )
+
+
+PRESETS = {
+    "c1": c1_jscc_awgn,
+    "c2": c2_snr_sweep,
+    "c3": c3_lidar_fusion,
+    "c4": c4_dqn_fusion,
+    "c5": c5_ppo_mesh,
+    "c1_jscc_awgn": c1_jscc_awgn,
+    "c2_snr_sweep": c2_snr_sweep,
+    "c3_lidar_fusion": c3_lidar_fusion,
+    "c4_dqn_fusion": c4_dqn_fusion,
+    "c5_ppo_mesh": c5_ppo_mesh,
+}
+
+
+def get_preset(name: str) -> ExperimentConfig:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; choose from {sorted(PRESETS)}")
+    return PRESETS[name]()

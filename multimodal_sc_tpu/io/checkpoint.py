@@ -1,0 +1,48 @@
+"""Checkpoint / resume via orbax (SURVEY.md §5.4).
+
+Saves the full train-state pytree (params, opt state, step; for RL also the
+replay buffer and PRNG key — any pytree works); restore re-establishes
+shardings from the live mesh via the abstract-target path. Reference repo
+has no checkpointing (``/root/reference/README.md:1-2``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state: Any, wait: bool = False) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def restore_latest(self, target: Any) -> Optional[Any]:
+        """Restore the newest checkpoint, resharded like `target` (a live
+        pytree whose shardings define placement). None if no checkpoint."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()

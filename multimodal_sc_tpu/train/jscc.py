@@ -1,0 +1,173 @@
+"""JSCC reconstruction training driver (configs 1-3, BASELINE.json:7-9).
+
+One jitted ``train_step`` tracing the full encode -> power-norm channel ->
+decode -> MSE graph (BASELINE.json:5 "one jitted graph"); the host loop only
+feeds batches and pulls metrics every K steps. Reference repo has no
+training code (``/root/reference/README.md:1-2``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from multimodal_sc_tpu.channel import channel as channel_op
+from multimodal_sc_tpu.config.configs import ExperimentConfig
+from multimodal_sc_tpu.envs.datasets import ImageDataset
+from multimodal_sc_tpu.evaluation.metrics import psnr
+from multimodal_sc_tpu.obs.metrics_writer import MetricsWriter, Timer
+from multimodal_sc_tpu.runtime import mesh as mesh_lib
+
+Array = jax.Array
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def build_model(cfg: ExperimentConfig):
+    if cfg.camera.arch == "cnn":
+        from multimodal_sc_tpu.codec.camera_cnn import CameraJSCC
+
+        return CameraJSCC(
+            features=cfg.camera.features,
+            c_sym=cfg.camera.c_sym,
+            image_hw=cfg.camera.image_hw,
+            snr_conditioning=cfg.camera.snr_conditioning,
+            dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+        )
+    elif cfg.camera.arch == "vit":
+        from multimodal_sc_tpu.codec.camera_vit import ViTJSCC
+
+        return ViTJSCC(
+            image_hw=cfg.camera.image_hw,
+            patch=cfg.camera.patch,
+            dim=cfg.camera.dim,
+            depth=cfg.camera.depth,
+            heads=cfg.camera.heads,
+            c_sym=cfg.camera.c_sym,
+            snr_conditioning=cfg.camera.snr_conditioning,
+            dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+            use_pallas=cfg.use_pallas,
+        )
+    raise ValueError(f"unknown camera arch {cfg.camera.arch!r}")
+
+
+def create_train_state(cfg: ExperimentConfig, key: Array) -> TrainState:
+    model = build_model(cfg)
+    h, w = cfg.camera.image_hw
+    dummy = jnp.zeros((2, h, w, 3), jnp.float32)
+    dummy_snr = jnp.full((2,), cfg.channel.snr_db, jnp.float32)
+    params = model.init(key, dummy, dummy_snr)["params"]
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip),
+        optax.adamw(
+            optax.warmup_cosine_decay_schedule(
+                0.0, cfg.train.lr, cfg.train.warmup_steps,
+                max(cfg.train.steps, cfg.train.warmup_steps + 1),
+            )
+        ),
+    )
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def _sample_snr(cfg: ExperimentConfig, key: Array, batch: int) -> Array:
+    if cfg.channel.random_snr:
+        return jax.random.uniform(
+            key, (batch,), minval=cfg.channel.snr_min_db,
+            maxval=cfg.channel.snr_max_db,
+        )
+    return jnp.full((batch,), cfg.channel.snr_db, jnp.float32)
+
+
+def reconstruct(
+    params, model, img: Array, snr_db: Array, key: Array,
+    kind: str, normalize: bool = True,
+) -> Tuple[Array, Array]:
+    """encode -> channel -> decode; returns (recon, symbols)."""
+    z = model.apply({"params": params}, img, snr_db, method="encode")
+    z_hat = channel_op(z, snr_db, kind, key, normalize=normalize)
+    recon = model.apply({"params": params}, z_hat, snr_db, method="decode")
+    return recon, z
+
+
+def make_train_step(cfg: ExperimentConfig, model):
+    kind = cfg.channel.kind
+    normalize = cfg.channel.normalize
+
+    def loss_fn(params, img, snr_db, key):
+        recon, _ = reconstruct(params, model, img, snr_db, key, kind, normalize)
+        loss = jnp.mean(jnp.square(recon - img))
+        return loss, recon
+
+    @jax.jit
+    def train_step(state: TrainState, img: Array, key: Array):
+        ksnr, kch = jax.random.split(key)
+        snr_db = _sample_snr(cfg, ksnr, img.shape[0])
+        (loss, recon), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, img, snr_db, kch
+        )
+        state = state.apply_gradients(grads=grads)
+        metrics = {"loss": loss, "psnr": psnr(recon, img)}
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: ExperimentConfig, model):
+    kind = cfg.channel.kind
+    normalize = cfg.channel.normalize
+
+    @functools.partial(jax.jit, static_argnames=("eval_kind",))
+    def eval_step(params, img, snr_db, key, eval_kind=kind):
+        recon, _ = reconstruct(params, model, img, snr_db, key, eval_kind,
+                               normalize)
+        return psnr(recon, img)
+
+    return eval_step
+
+
+def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
+    """Host training loop for configs 1-3. Returns (state, last_metrics)."""
+    key = jax.random.key(cfg.train.seed)
+    key, init_key = jax.random.split(key)
+    state = create_train_state(cfg, init_key)
+    model = build_model(cfg)
+    train_step = make_train_step(cfg, model)
+    dev_mesh = mesh_lib.make_mesh()
+    state = mesh_lib.replicate(dev_mesh, state)
+
+    data = ImageDataset(cfg.train.dataset, cfg.train.batch_size,
+                        seed=cfg.train.seed)
+    writer = MetricsWriter(metrics_path)
+    last = {}
+    ckpt_mgr = None
+    if cfg.train.checkpoint_dir:
+        from multimodal_sc_tpu.io.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(cfg.train.checkpoint_dir)
+        restored = ckpt_mgr.restore_latest(state)
+        if restored is not None:
+            state = restored
+
+    start_step = int(jax.device_get(state.step))
+    with Timer() as t:
+        for step in range(start_step, cfg.train.steps):
+            img = mesh_lib.shard_batch(dev_mesh, next(data))
+            key, sk = jax.random.split(key)
+            state, metrics = train_step(state, img, sk)
+            last = metrics
+            if (step + 1) % cfg.train.log_every == 0:
+                writer.write(step + 1, metrics)
+            if ckpt_mgr and (step + 1) % cfg.train.checkpoint_every == 0:
+                ckpt_mgr.save(step + 1, state)
+    jax.block_until_ready(last)
+    writer.close()
+    if ckpt_mgr:
+        ckpt_mgr.close()
+    return state, jax.device_get(last)

@@ -1,0 +1,36 @@
+"""Test conftest: force an 8-virtual-device CPU backend BEFORE jax init.
+
+SURVEY.md §4.2 "Distributed without a cluster": tests run on the CPU backend
+with xla_force_host_platform_device_count=8 so mesh/sharding/collective
+paths are exercised without TPU hardware. Must run before jax initializes.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_debug_nans", False)  # individual tests opt in
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def key():
+    return jax.random.key(0)
+
+
+@pytest.fixture
+def mesh8():
+    from multimodal_sc_tpu.runtime.mesh import make_mesh
+
+    return make_mesh(data=8, model=1)

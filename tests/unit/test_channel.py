@@ -1,0 +1,128 @@
+"""Analytic-oracle tests for the channel layer (SURVEY.md §4.2).
+
+No reference outputs exist (reference repo is a title-only README), so
+correctness is pinned to closed-form channel statistics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_sc_tpu.channel import (
+    awgn,
+    channel,
+    power_normalize,
+    rayleigh,
+)
+
+
+def _rand_symbols(key, batch=64, k=256):
+    z = jax.random.normal(key, (batch, k, 2)) * 3.1 + 0.7
+    return z
+
+
+class TestPowerNormalize:
+    def test_unit_average_power(self, key):
+        z = _rand_symbols(key)
+        zn = power_normalize(z)
+        # sum over symbols of |z|^2 == k per example
+        p = jnp.sum(jnp.square(zn), axis=(1, 2))
+        np.testing.assert_allclose(p, np.full(z.shape[0], z.shape[1]),
+                                   rtol=1e-5)
+
+    def test_preserves_direction(self, key):
+        z = _rand_symbols(key, batch=4, k=8)
+        zn = power_normalize(z)
+        for i in range(4):
+            a = np.asarray(z[i]).ravel()
+            b = np.asarray(zn[i]).ravel()
+            cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+            assert cos > 0.999999
+
+    def test_gradient_finite(self, key):
+        z = _rand_symbols(key, batch=2, k=16)
+        g = jax.grad(lambda z: jnp.sum(power_normalize(z) ** 2))(z)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestAWGN:
+    def test_measured_snr_matches_requested(self, key):
+        """Empirical SNR over many samples ~= requested SNR dB."""
+        for snr_db in (0.0, 10.0, 20.0):
+            z = power_normalize(_rand_symbols(key, batch=256, k=512))
+            y = awgn(z, snr_db, jax.random.key(42))
+            noise_p = float(jnp.mean(jnp.sum(jnp.square(y - z), axis=-1)))
+            sig_p = float(jnp.mean(jnp.sum(jnp.square(z), axis=-1)))
+            measured = 10 * np.log10(sig_p / noise_p)
+            assert abs(measured - snr_db) < 0.3, (snr_db, measured)
+
+    def test_per_example_snr_vector(self, key):
+        z = power_normalize(_rand_symbols(key, batch=4, k=4096))
+        snrs = jnp.array([0.0, 5.0, 10.0, 20.0])
+        y = awgn(z, snrs, jax.random.key(1))
+        noise_p = jnp.mean(jnp.sum(jnp.square(y - z), axis=-1), axis=-1)
+        measured = 10 * np.log10(1.0 / np.asarray(noise_p))
+        np.testing.assert_allclose(measured, np.asarray(snrs), atol=0.6)
+
+    def test_gradient_is_identity_wrt_input(self, key):
+        """d(awgn)/dz == I since noise is additive and key-independent."""
+        z = _rand_symbols(key, batch=2, k=8)
+        g = jax.grad(lambda z: jnp.sum(awgn(z, 10.0, jax.random.key(0))))(z)
+        np.testing.assert_allclose(np.asarray(g), 1.0, rtol=1e-6)
+
+
+class TestRayleigh:
+    def test_equalization_inverts_fading_exactly(self, key):
+        """At effectively infinite SNR, conj(h)/|h|^2 equalization must
+        invert the fade exactly: z_hat == z for every h draw (deep fades
+        included)."""
+        z = power_normalize(_rand_symbols(key, batch=128, k=64))
+        y = rayleigh(z, 200.0, jax.random.key(3))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(z), atol=1e-4)
+
+    def test_equalized_noise_statistics(self, key):
+        """E[|z_hat - z|^2] = sigma^2 * E[1/|h|^2]; heavy-tailed, so just
+        check unbiasedness: E[z_hat] == z across noise draws."""
+        z = power_normalize(_rand_symbols(key, batch=1, k=64))
+        zs = jnp.repeat(z, 4096, axis=0)
+        y = rayleigh(zs, 10.0, jax.random.key(5))
+        np.testing.assert_allclose(
+            np.asarray(jnp.mean(y, axis=0)), np.asarray(z[0]), atol=0.05
+        )
+
+    def test_gradient_flows(self, key):
+        z = _rand_symbols(key, batch=2, k=8)
+        g = jax.grad(
+            lambda z: jnp.sum(rayleigh(z, 10.0, jax.random.key(0)) ** 2)
+        )(z)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+class TestChannelDispatch:
+    def test_ideal_is_normalized_identity(self, key):
+        z = _rand_symbols(key)
+        y = channel(z, 10.0, "ideal", key)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(power_normalize(z)), rtol=1e-5
+        )
+
+    def test_unknown_kind_raises(self, key):
+        with pytest.raises(ValueError):
+            channel(_rand_symbols(key), 10.0, "quantum", key)
+
+    def test_jit_traceable_inside_outer_graph(self, key):
+        z = _rand_symbols(key, batch=8, k=32)
+
+        @jax.jit
+        def f(z, key):
+            return jnp.mean(channel(z, 10.0, "awgn", key) ** 2)
+
+        assert np.isfinite(float(f(z, key)))
+
+    def test_deterministic_under_key(self, key):
+        z = _rand_symbols(key)
+        y1 = channel(z, 10.0, "rayleigh", jax.random.key(7))
+        y2 = channel(z, 10.0, "rayleigh", jax.random.key(7))
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
