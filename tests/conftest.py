@@ -20,6 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_debug_nans", False)  # individual tests opt in
+# Default matmul precision is bf16-like even on CPU in jax 0.9; pin to
+# highest so kernel-vs-XLA-twin comparisons are meaningful (production code
+# keeps the fast default on TPU).
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402
 
