@@ -1,0 +1,86 @@
+"""CLI: ``python -m multimodal_sc_tpu.cli train --config c4 --set k=v``.
+
+Spec: SURVEY.md §5.6 — argparse + dataclasses only, no external deps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="multimodal_sc_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="run a training config")
+    t.add_argument("--config", required=True,
+                   help="preset name (c1..c5 or full names)")
+    t.add_argument("--set", action="append", default=[], dest="overrides",
+                   help="dotted override, e.g. train.steps=100")
+    t.add_argument("--metrics", default=None, help="JSONL metrics path")
+
+    e = sub.add_parser("eval", help="SNR-sweep evaluation of a jscc config")
+    e.add_argument("--config", required=True)
+    e.add_argument("--set", action="append", default=[], dest="overrides")
+    e.add_argument("--out", default=None, help="curve JSON output path")
+
+    s = sub.add_parser("show", help="print a resolved config as JSON")
+    s.add_argument("--config", required=True)
+    s.add_argument("--set", action="append", default=[], dest="overrides")
+
+    args = p.parse_args(argv)
+
+    from multimodal_sc_tpu.config.presets import get_preset
+
+    cfg = get_preset(args.config).override_str(args.overrides)
+
+    if args.cmd == "show":
+        print(cfg.to_json())
+        return 0
+
+    if args.cmd == "train":
+        task = cfg.train.task
+        if task == "jscc":
+            from multimodal_sc_tpu.train import jscc
+
+            _, last = jscc.run(cfg, metrics_path=args.metrics)
+        elif task == "dqn":
+            from multimodal_sc_tpu.train import dqn
+
+            _, last = dqn.run(cfg, metrics_path=args.metrics)
+        elif task == "ppo":
+            from multimodal_sc_tpu.train import ppo
+
+            _, last = ppo.run(cfg, metrics_path=args.metrics)
+        else:
+            print(f"unknown task {task!r}", file=sys.stderr)
+            return 2
+        print(json.dumps({k: float(v) for k, v in last.items()}))
+        return 0
+
+    if args.cmd == "eval":
+        from multimodal_sc_tpu.envs.datasets import ImageDataset
+        from multimodal_sc_tpu.evaluation import snr_sweep
+        from multimodal_sc_tpu.train import jscc
+
+        key = jax.random.key(cfg.train.seed)
+        state = jscc.create_train_state(cfg, key)
+        model = jscc.build_model(cfg)
+        images = next(ImageDataset(cfg.train.dataset, cfg.train.batch_size,
+                                   seed=cfg.train.seed))
+        curves = snr_sweep.sweep_camera(model, state.params,
+                                        jax.numpy.asarray(images), key)
+        print(snr_sweep.format_table(curves))
+        if args.out:
+            snr_sweep.save_curves(curves, args.out)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

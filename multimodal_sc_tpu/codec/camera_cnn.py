@@ -116,6 +116,31 @@ class CameraDecoderCNN(nn.Module):
         return nn.sigmoid(x.astype(jnp.float32))
 
 
+class CameraTokensCNN(nn.Module):
+    """Noisy symbols -> decoded feature tokens (B, h*w, dim) for fusion.
+
+    Runs the front half of the decoder (conv_in + PReLU [+ FiLM]) so RL
+    perception reuses JSCC-pretrained decoding without rendering pixels.
+    """
+
+    dim: int = 128
+    c_sym: int = 8
+    image_hw: tuple = (32, 32)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z_hat: Array, snr_db: Optional[Array] = None) -> Array:
+        b = z_hat.shape[0]
+        h, w = self.image_hw[0] // 4, self.image_hw[1] // 4
+        x = z_hat.reshape(b, h, w, 2 * self.c_sym).astype(self.dtype)
+        x = nn.Conv(self.dim, (5, 5), padding="SAME", dtype=self.dtype,
+                    name="conv_in")(x)
+        x = PReLU(name="prelu_in")(x)
+        if snr_db is not None:
+            x = SNRFiLM(self.dim, name="snr_film")(x, snr_db)
+        return x.reshape(b, h * w, self.dim).astype(jnp.float32)
+
+
 class CameraJSCC(nn.Module):
     """Bundled encoder/decoder so one param tree serves both directions."""
 

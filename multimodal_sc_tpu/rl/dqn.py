@@ -1,0 +1,190 @@
+"""DQN over the semantic-communication perception trunk.
+
+Spec: BASELINE.json:5 ("DQN/PPO policy/value heads ... single jitted actor
+step with vmap-batched environment rollouts"), :10 ("Cross-attention fusion
+transformer + DQN driving policy, batched replay on-device"). Reference repo
+has no RL code (``/root/reference/README.md:1-2``).
+
+Design (SURVEY.md §2.2, §3.2c): double-DQN with Huber TD loss; the entire
+iteration — observe -> eps-greedy act -> env step -> replay add -> replay
+sample -> TD grad -> optimizer -> periodic target sync — is ONE jitted
+function with no host round-trips. Under data parallelism the iteration is
+jitted with NamedShardings (env/replay arrays sharded over ``data``), and
+GSPMD inserts the grad all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from multimodal_sc_tpu.config.configs import ExperimentConfig
+from multimodal_sc_tpu.envs import driving
+from multimodal_sc_tpu.rl import replay
+from multimodal_sc_tpu.rl.perception import QNetwork
+
+Array = jax.Array
+
+
+class Transition(NamedTuple):
+    image: Array
+    points: Array
+    mask: Array
+    action: Array
+    reward: Array
+    done: Array
+    next_image: Array
+    next_points: Array
+    next_mask: Array
+
+
+class DQNState(NamedTuple):
+    params: Any
+    target_params: Any
+    opt_state: Any
+    env_states: Any            # batched EnvState
+    buffer: Any                # ReplayBuffer
+    key: Array
+    step: Array                # () int32 gradient steps taken
+    ep_return: Array           # (B,) running episode return per env
+    last_return: Array         # (B,) most recent completed episode return
+
+
+def _epsilon(cfg: ExperimentConfig, step: Array) -> Array:
+    r = cfg.rl
+    frac = jnp.clip(step.astype(jnp.float32) / r.eps_decay_steps, 0.0, 1.0)
+    return r.eps_start + frac * (r.eps_end - r.eps_start)
+
+
+def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip),
+        optax.adam(cfg.train.lr),
+    )
+
+
+def init(cfg: ExperimentConfig, key: Array, num_envs: int) -> DQNState:
+    k_env, k_par, k_state = jax.random.split(key, 3)
+    env_states = driving.reset_batch(cfg.env, k_env, num_envs)
+    img, pts, mask = driving.observe_batch(cfg.env, env_states)
+
+    net = QNetwork(cfg)
+    params = net.init(k_par, img[:1], pts[:1], mask[:1], jax.random.key(0))[
+        "params"]
+    opt_state = make_optimizer(cfg).init(params)
+
+    example = Transition(
+        image=img[0], points=pts[0], mask=mask[0],
+        action=jnp.int32(0), reward=jnp.float32(0), done=jnp.bool_(False),
+        next_image=img[0], next_points=pts[0], next_mask=mask[0],
+    )
+    buf = replay.create(example, cfg.rl.replay_capacity)
+    zeros = jnp.zeros((num_envs,), jnp.float32)
+    return DQNState(params=params, target_params=params, opt_state=opt_state,
+                    env_states=env_states, buffer=buf, key=k_state,
+                    step=jnp.int32(0), ep_return=zeros, last_return=zeros)
+
+
+def act(cfg: ExperimentConfig, params, image, points, mask, key,
+        epsilon: Array = 0.0) -> Array:
+    """Eps-greedy action for a batch of observations (public API verb)."""
+    k_net, k_eps, k_rand = jax.random.split(key, 3)
+    q = QNetwork(cfg).apply({"params": params}, image, points, mask, k_net)
+    greedy = jnp.argmax(q, axis=-1)
+    rand = jax.random.randint(k_rand, greedy.shape, 0, cfg.rl.num_actions)
+    explore = jax.random.uniform(k_eps, greedy.shape) < epsilon
+    return jnp.where(explore, rand, greedy).astype(jnp.int32)
+
+
+def _td_loss(params, target_params, batch: Transition, key: Array,
+             cfg: ExperimentConfig) -> Array:
+    # cfg is closed over statically at trace time (frozen dataclass, not a
+    # pytree — must not be passed through jax transforms as a traced arg).
+    net = QNetwork(cfg)
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = net.apply({"params": params}, batch.image, batch.points, batch.mask, k1)
+    q_taken = jnp.take_along_axis(q, batch.action[:, None], axis=-1)[:, 0]
+
+    q_next_t = net.apply({"params": target_params}, batch.next_image,
+                         batch.next_points, batch.next_mask, k2)
+    if cfg.rl.double_dqn:
+        q_next_o = net.apply({"params": params}, batch.next_image,
+                             batch.next_points, batch.next_mask, k3)
+        a_star = jnp.argmax(q_next_o, axis=-1)
+    else:
+        a_star = jnp.argmax(q_next_t, axis=-1)
+    q_boot = jnp.take_along_axis(q_next_t, a_star[:, None], axis=-1)[:, 0]
+    nonterm = 1.0 - batch.done.astype(jnp.float32)
+    target = batch.reward + cfg.rl.gamma * nonterm * jax.lax.stop_gradient(
+        q_boot)
+    return jnp.mean(optax.huber_loss(q_taken, target))
+
+
+def make_iteration(cfg: ExperimentConfig, learn: bool = True):
+    """Build the single jitted actor+learner iteration."""
+    tx = make_optimizer(cfg)
+
+    @jax.jit
+    def iteration(state: DQNState):
+        key, k_act, k_step, k_sample, k_loss = jax.random.split(state.key, 5)
+
+        img, pts, mask = driving.observe_batch(cfg.env, state.env_states)
+        eps = _epsilon(cfg, state.step)
+        actions = act(cfg, state.params, img, pts, mask, k_act, eps)
+        env_states, ts = driving.step_batch(cfg.env, state.env_states, actions)
+
+        ep_return = state.ep_return + ts.reward
+        last_return = jnp.where(ts.done, ep_return, state.last_return)
+        ep_return = jnp.where(ts.done, 0.0, ep_return)
+
+        trans = Transition(
+            image=img, points=pts, mask=mask, action=actions,
+            reward=ts.reward, done=ts.done,
+            next_image=ts.image, next_points=ts.points, next_mask=ts.mask,
+        )
+        buf = replay.add_batch(state.buffer, trans)
+
+        def do_learn(args):
+            params, target_params, opt_state, step = args
+            batch = replay.sample(buf, k_sample, cfg.rl.batch_size)
+            loss, grads = jax.value_and_grad(
+                lambda p: _td_loss(p, target_params, batch, k_loss, cfg))(
+                params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            step = step + 1
+            sync = (step % cfg.rl.target_update_period) == 0
+            target_params = jax.tree_util.tree_map(
+                lambda t, p: jnp.where(sync, p, t), target_params, params)
+            return params, target_params, opt_state, step, loss
+
+        def skip(args):
+            params, target_params, opt_state, step = args
+            return params, target_params, opt_state, step, jnp.float32(0)
+
+        warm = buf.size >= cfg.rl.batch_size
+        if learn:
+            params, target_params, opt_state, step, loss = jax.lax.cond(
+                warm, do_learn, skip,
+                (state.params, state.target_params, state.opt_state,
+                 state.step))
+        else:
+            params, target_params, opt_state, step = (
+                state.params, state.target_params, state.opt_state, state.step)
+            loss = jnp.float32(0)
+
+        new_state = DQNState(
+            params=params, target_params=target_params, opt_state=opt_state,
+            env_states=env_states, buffer=buf, key=key, step=step,
+            ep_return=ep_return, last_return=last_return)
+        metrics = {"loss": loss, "epsilon": eps,
+                   "reward": jnp.mean(ts.reward),
+                   "episode_return": jnp.mean(last_return),
+                   "buffer_size": buf.size.astype(jnp.float32)}
+        return new_state, metrics
+
+    return iteration

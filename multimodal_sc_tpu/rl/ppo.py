@@ -1,0 +1,191 @@
+"""PPO actor-critic over the semantic-communication perception trunk.
+
+Spec: BASELINE.json:5,:11 ("Closed-loop PPO driving agent (CARLA-style env)
+with end-to-end semantic-comm on a TPU mesh"). Reference repo has no RL code
+(``/root/reference/README.md:1-2``).
+
+Design (SURVEY.md §3.2d): one jitted ``train_step`` containing the whole
+update — rollout as ``lax.scan`` of env.step ∘ act (closed loop, on-device),
+GAE as a reverse scan, then clipped-surrogate minibatch epochs as nested
+scans over permuted indices. No host round-trips anywhere in the update.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from multimodal_sc_tpu.config.configs import ExperimentConfig
+from multimodal_sc_tpu.envs import driving
+from multimodal_sc_tpu.rl.gae import gae
+from multimodal_sc_tpu.rl.perception import ActorCritic
+
+Array = jax.Array
+
+
+class PPOState(NamedTuple):
+    params: Any
+    opt_state: Any
+    env_states: Any
+    key: Array
+    update: Array          # () int32 update counter
+    ep_return: Array       # (B,)
+    last_return: Array     # (B,)
+
+
+class Rollout(NamedTuple):
+    image: Array           # (T, B, H, W, 3)
+    points: Array          # (T, B, N, 4)
+    mask: Array            # (T, B, N)
+    action: Array          # (T, B)
+    logp: Array            # (T, B)
+    value: Array           # (T, B)
+    reward: Array          # (T, B)
+    done: Array            # (T, B)
+
+
+def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip),
+        optax.adam(cfg.train.lr),
+    )
+
+
+def init(cfg: ExperimentConfig, key: Array) -> PPOState:
+    k_env, k_par, k_state = jax.random.split(key, 3)
+    env_states = driving.reset_batch(cfg.env, k_env, cfg.rl.num_envs)
+    img, pts, mask = driving.observe_batch(cfg.env, env_states)
+    ac = ActorCritic(cfg)
+    params = ac.init(k_par, img[:1], pts[:1], mask[:1], jax.random.key(0))[
+        "params"]
+    opt_state = make_optimizer(cfg).init(params)
+    zeros = jnp.zeros((cfg.rl.num_envs,), jnp.float32)
+    return PPOState(params=params, opt_state=opt_state, env_states=env_states,
+                    key=k_state, update=jnp.int32(0), ep_return=zeros,
+                    last_return=zeros)
+
+
+def act(cfg: ExperimentConfig, params, image, points, mask, key):
+    """Sample (action, logp, value) — public API verb for PPO."""
+    k_net, k_smp = jax.random.split(key)
+    logits, value = ActorCritic(cfg).apply(
+        {"params": params}, image, points, mask, k_net)
+    action = jax.random.categorical(k_smp, logits)
+    logp = jax.nn.log_softmax(logits)[
+        jnp.arange(logits.shape[0]), action]
+    return action.astype(jnp.int32), logp, value
+
+
+def _collect_rollout(cfg: ExperimentConfig, params, env_states, ep_return,
+                     last_return, key):
+    def step_fn(carry, _):
+        env_states, ep_ret, last_ret, key = carry
+        key, k_act, = jax.random.split(key)
+        img, pts, mask = driving.observe_batch(cfg.env, env_states)
+        action, logp, value = act(cfg, params, img, pts, mask, k_act)
+        env_states, ts = driving.step_batch(cfg.env, env_states, action)
+        ep_ret = ep_ret + ts.reward
+        last_ret = jnp.where(ts.done, ep_ret, last_ret)
+        ep_ret = jnp.where(ts.done, 0.0, ep_ret)
+        out = Rollout(image=img, points=pts, mask=mask, action=action,
+                      logp=logp, value=value, reward=ts.reward, done=ts.done)
+        return (env_states, ep_ret, last_ret, key), out
+
+    (env_states, ep_return, last_return, key), rollout = jax.lax.scan(
+        step_fn, (env_states, ep_return, last_return, key), None,
+        length=cfg.rl.rollout_length)
+    return env_states, ep_return, last_return, key, rollout
+
+
+def _ppo_loss(params, batch, cfg: ExperimentConfig, key: Array):
+    logits, value = ActorCritic(cfg).apply(
+        {"params": params}, batch["image"], batch["points"], batch["mask"],
+        key)
+    logp_all = jax.nn.log_softmax(logits)
+    logp = jnp.take_along_axis(logp_all, batch["action"][:, None],
+                               axis=-1)[:, 0]
+    ratio = jnp.exp(logp - batch["logp"])
+    adv = batch["adv"]
+    adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
+    clipped = jnp.clip(ratio, 1 - cfg.rl.clip_eps, 1 + cfg.rl.clip_eps)
+    pg_loss = -jnp.mean(jnp.minimum(ratio * adv, clipped * adv))
+    v_loss = 0.5 * jnp.mean((value - batch["ret"]) ** 2)
+    entropy = -jnp.mean(jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1))
+    total = (pg_loss + cfg.rl.value_coef * v_loss
+             - cfg.rl.entropy_coef * entropy)
+    return total, {"pg_loss": pg_loss, "v_loss": v_loss, "entropy": entropy}
+
+
+def make_train_step(cfg: ExperimentConfig):
+    tx = make_optimizer(cfg)
+    T, B = cfg.rl.rollout_length, cfg.rl.num_envs
+    n_mb = cfg.rl.num_minibatches
+    mb_size = (T * B) // n_mb
+
+    @jax.jit
+    def train_step(state: PPOState):
+        key, k_roll, k_last, k_perm, k_loss = jax.random.split(state.key, 5)
+
+        env_states, ep_return, last_return, _, ro = _collect_rollout(
+            cfg, state.params, state.env_states, state.ep_return,
+            state.last_return, k_roll)
+
+        # Bootstrap value of the final state.
+        img, pts, mask = driving.observe_batch(cfg.env, env_states)
+        _, _, last_value = act(cfg, state.params, img, pts, mask, k_last)
+
+        adv, ret = gae(ro.reward, ro.value, ro.done, last_value,
+                       cfg.rl.gamma, cfg.rl.gae_lambda)
+
+        flat = {
+            "image": ro.image.reshape(T * B, *ro.image.shape[2:]),
+            "points": ro.points.reshape(T * B, *ro.points.shape[2:]),
+            "mask": ro.mask.reshape(T * B, *ro.mask.shape[2:]),
+            "action": ro.action.reshape(T * B),
+            "logp": ro.logp.reshape(T * B),
+            "adv": adv.reshape(T * B),
+            "ret": ret.reshape(T * B),
+        }
+
+        def epoch_fn(carry, k_epoch):
+            params, opt_state = carry
+            perm = jax.random.permutation(k_epoch, T * B)
+
+            def mb_fn(carry, i):
+                params, opt_state = carry
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_size, mb_size)
+                batch = {k: v[idx] for k, v in flat.items()}
+                k_i = jax.random.fold_in(k_loss, i)
+                (loss, aux), grads = jax.value_and_grad(
+                    lambda p: _ppo_loss(p, batch, cfg, k_i), has_aux=True)(
+                    params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, aux)
+
+            (params, opt_state), (losses, auxs) = jax.lax.scan(
+                mb_fn, (params, opt_state), jnp.arange(n_mb))
+            return (params, opt_state), (losses, auxs)
+
+        (params, opt_state), (losses, auxs) = jax.lax.scan(
+            epoch_fn, (state.params, state.opt_state),
+            jax.random.split(k_perm, cfg.rl.ppo_epochs))
+
+        new_state = PPOState(
+            params=params, opt_state=opt_state, env_states=env_states,
+            key=key, update=state.update + 1, ep_return=ep_return,
+            last_return=last_return)
+        metrics = {
+            "loss": jnp.mean(losses),
+            "pg_loss": jnp.mean(auxs["pg_loss"]),
+            "v_loss": jnp.mean(auxs["v_loss"]),
+            "entropy": jnp.mean(auxs["entropy"]),
+            "reward": jnp.mean(ro.reward),
+            "episode_return": jnp.mean(last_return),
+        }
+        return new_state, metrics
+
+    return train_step

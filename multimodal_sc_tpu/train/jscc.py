@@ -156,10 +156,15 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
             state = restored
 
     start_step = int(jax.device_get(state.step))
+    # Resume-determinism: per-step keys and data batches are derived from
+    # the global step index, so a restored run replays the exact same
+    # stream as an uninterrupted one (kill-and-resume test, SURVEY §5.3).
+    data._step = start_step
+    root_key = jax.random.key(cfg.train.seed)
     with Timer() as t:
         for step in range(start_step, cfg.train.steps):
             img = mesh_lib.shard_batch(dev_mesh, next(data))
-            key, sk = jax.random.split(key)
+            sk = jax.random.fold_in(root_key, step)
             state, metrics = train_step(state, img, sk)
             last = metrics
             if (step + 1) % cfg.train.log_every == 0:

@@ -1,0 +1,57 @@
+"""PPO training driver (config 5, BASELINE.json:11).
+
+Each train_step is a full on-device rollout + GAE + minibatch epochs; the
+host loop only counts updates, pulls metrics, and checkpoints. The
+steps/sec/chip benchmark counts env steps = updates * T * B (the north-star
+metric path, BASELINE.json:2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from multimodal_sc_tpu.config.configs import ExperimentConfig
+from multimodal_sc_tpu.obs.metrics_writer import (
+    MetricsWriter,
+    Timer,
+    steps_per_sec_per_chip,
+)
+from multimodal_sc_tpu.rl import ppo as ppo_lib
+
+
+def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
+    key = jax.random.key(cfg.train.seed)
+    key, k_init = jax.random.split(key)
+    state = ppo_lib.init(cfg, k_init)
+    train_step = ppo_lib.make_train_step(cfg)
+
+    writer = MetricsWriter(metrics_path)
+    ckpt_mgr = None
+    if cfg.train.checkpoint_dir:
+        from multimodal_sc_tpu.io.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(cfg.train.checkpoint_dir)
+        restored = ckpt_mgr.restore_latest(state)
+        if restored is not None:
+            state = ppo_lib.PPOState(*restored)
+
+    last = {}
+    with Timer() as t:
+        for it in range(cfg.train.steps):
+            state, metrics = train_step(state)
+            last = metrics
+            if (it + 1) % cfg.train.log_every == 0:
+                writer.write(it + 1, metrics)
+            if ckpt_mgr and (it + 1) % cfg.train.checkpoint_every == 0:
+                ckpt_mgr.save(it + 1, state)
+    jax.block_until_ready(last)
+    env_steps = cfg.train.steps * cfg.rl.rollout_length * cfg.rl.num_envs
+    sps = steps_per_sec_per_chip(env_steps, t.elapsed)
+    writer.write(cfg.train.steps, {**last, "agent_steps_per_sec_per_chip": sps})
+    writer.close()
+    if ckpt_mgr:
+        ckpt_mgr.close()
+    return state, {**jax.device_get(last),
+                   "agent_steps_per_sec_per_chip": sps}

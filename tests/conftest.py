@@ -8,7 +8,9 @@ paths are exercised without TPU hardware. Must run before jax initializes.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The dev environment pins JAX_PLATFORMS=axon (real TPU tunnel); tests must
+# run on the 8-virtual-device CPU backend, so force-override (not setdefault).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +20,10 @@ if "xla_force_host_platform_device_count" not in flags:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+
+# The axon sitecustomize pins the platform at import; env alone is not
+# enough — override via config before first backend init.
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_debug_nans", False)  # individual tests opt in
 # Default matmul precision is bf16-like even on CPU in jax 0.9; pin to

@@ -1,0 +1,80 @@
+"""DQN / PPO smoke tests: tiny configs, a few iterations, finite metrics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_sc_tpu.config.presets import get_preset
+
+
+def _tiny(preset):
+    return get_preset(preset).override_str([
+        "camera.features=8,16,16,16",
+        "camera.c_sym=2",
+        "lidar.pillar_dim=16",
+        "lidar.c_sym=2",
+        "lidar.bev_hw=8,8",
+        "fusion.dim=32",
+        "fusion.depth=1",
+        "fusion.heads=2",
+        "fusion.state_dim=32",
+        "env.num_npcs=2",
+        "env.lidar_rays=32",
+        "env.image_hw=16,16",
+        "camera.image_hw=16,16",
+        "rl.replay_capacity=256",
+        "rl.batch_size=16",
+        "rl.rollout_length=8",
+        "rl.num_envs=4",
+        "rl.num_minibatches=2",
+        "rl.ppo_epochs=2",
+    ])
+
+
+@pytest.mark.slow
+def test_dqn_iteration_runs_and_learns_shape(key):
+    from multimodal_sc_tpu.rl import dqn as dqn_lib
+
+    cfg = _tiny("c4")
+    state = dqn_lib.init(cfg, key, num_envs=4)
+    it = dqn_lib.make_iteration(cfg)
+    for _ in range(20):
+        state, metrics = it(state)
+    m = jax.device_get(metrics)
+    assert np.isfinite(m["loss"])
+    assert m["buffer_size"] == 20 * 4
+    # After warmup (16 samples), gradient steps happened.
+    assert int(jax.device_get(state.step)) > 0
+
+
+@pytest.mark.slow
+def test_ppo_train_step_runs(key):
+    from multimodal_sc_tpu.rl import ppo as ppo_lib
+
+    cfg = _tiny("c5")
+    state = ppo_lib.init(cfg, key)
+    step = ppo_lib.make_train_step(cfg)
+    for _ in range(2):
+        state, metrics = step(state)
+    m = jax.device_get(metrics)
+    for k in ("loss", "pg_loss", "v_loss", "entropy", "reward"):
+        assert np.isfinite(m[k]), k
+    assert int(jax.device_get(state.update)) == 2
+
+
+@pytest.mark.slow
+def test_dqn_act_epsilon_extremes(key):
+    from multimodal_sc_tpu.rl import dqn as dqn_lib
+
+    cfg = _tiny("c4")
+    state = dqn_lib.init(cfg, key, num_envs=4)
+    from multimodal_sc_tpu.envs import driving
+
+    img, pts, mask = driving.observe_batch(cfg.env, state.env_states)
+    a1 = dqn_lib.act(cfg, state.params, img, pts, mask, key,
+                     epsilon=jnp.float32(0.0))
+    a2 = dqn_lib.act(cfg, state.params, img, pts, mask, key,
+                     epsilon=jnp.float32(0.0))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert np.asarray(a1).min() >= 0 and np.asarray(a1).max() < 9

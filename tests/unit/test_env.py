@@ -1,0 +1,107 @@
+"""Driving environment tests: purity, shapes, vmap/jit, physics sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_sc_tpu.config.configs import EnvConfig
+from multimodal_sc_tpu.envs import driving
+
+CFG = EnvConfig(num_npcs=4, image_hw=(32, 32), lidar_rays=64, max_steps=64)
+
+
+def test_reset_deterministic(key):
+    s1 = driving.reset(CFG, key)
+    s2 = driving.reset(CFG, key)
+    np.testing.assert_array_equal(np.asarray(s1.ego), np.asarray(s2.ego))
+    np.testing.assert_array_equal(np.asarray(s1.npcs), np.asarray(s2.npcs))
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(s1.key)),
+        np.asarray(jax.random.key_data(s2.key)))
+
+
+def test_step_shapes(key):
+    s = driving.reset(CFG, key)
+    s, ts = driving.step(CFG, s, jnp.int32(4))
+    assert ts.image.shape == (32, 32, 3)
+    assert ts.points.shape == (64, 4)
+    assert ts.mask.shape == (64,)
+    assert ts.reward.shape == ()
+    assert float(ts.image.min()) >= 0 and float(ts.image.max()) <= 1
+
+
+def test_forward_accel_increases_speed(key):
+    s = driving.reset(CFG, key)
+    v0 = float(s.ego[3])
+    # action 2 = steer 0 row? action_table: steer x accel grid flattened.
+    steers, accels = driving.action_table()
+    a_fwd = int(jnp.argmax(accels + (jnp.abs(steers) < 1e-6) * 100))
+    s2, _ = driving.step(CFG, s, jnp.int32(a_fwd))
+    assert float(s2.ego[3]) > v0
+
+
+def test_progress_reward_positive_when_moving(key):
+    s = driving.reset(CFG, key)
+    steers, accels = driving.action_table()
+    a_keep = int(jnp.argmin(jnp.abs(steers) + jnp.abs(accels)))
+    s, ts = driving.step(CFG, s, jnp.int32(a_keep))
+    if not bool(ts.done):
+        assert float(ts.info["progress"]) > 0
+
+
+def test_vmap_jit_batched_rollout(key):
+    n_envs = 8
+    states = driving.reset_batch(CFG, key, n_envs)
+
+    @jax.jit
+    def rollout(states, key):
+        def body(carry, _):
+            states, key = carry
+            key, k = jax.random.split(key)
+            actions = jax.random.randint(k, (n_envs,), 0, 9)
+            states, ts = driving.step_batch(CFG, states, actions)
+            return (states, key), ts.reward
+
+        (states, _), rewards = jax.lax.scan(body, (states, key), None,
+                                            length=16)
+        return states, rewards
+
+    states, rewards = rollout(states, key)
+    assert rewards.shape == (16, n_envs)
+    assert np.all(np.isfinite(np.asarray(rewards)))
+
+
+def test_max_steps_terminates(key):
+    cfg = EnvConfig(num_npcs=2, max_steps=3)
+    s = driving.reset(cfg, key)
+    dones = []
+    for _ in range(4):
+        s, ts = driving.step(cfg, s, jnp.int32(4))
+        dones.append(bool(ts.done))
+    assert any(dones)  # must terminate within max_steps (or earlier)
+
+
+def test_lidar_hits_npc_directly_ahead(key):
+    s = driving.reset(CFG, key)
+    # Place one NPC 10 m directly ahead in the same lane, same heading.
+    npcs = s.npcs.at[0].set(
+        jnp.array([s.ego[0] + 10.0, s.ego[1], 0.0, 5.0]))
+    # Park other NPCs far away.
+    for i in range(1, CFG.num_npcs):
+        npcs = npcs.at[i].set(jnp.array([s.ego[0] + 500.0, 0.0, 0.0, 5.0]))
+    s = s._replace(npcs=npcs, ego=s.ego.at[2].set(0.0))
+    pts, mask = driving.lidar_scan(CFG, s)
+    hits = np.asarray(mask)
+    assert hits.any()
+    hit_x = np.asarray(pts[:, 0])[hits]
+    # Nearest hit ~ 10 - NPC_RADIUS
+    assert abs(hit_x.min() - (10.0 - driving.NPC_RADIUS)) < 0.5
+
+
+def test_collision_detection(key):
+    s = driving.reset(CFG, key)
+    npcs = s.npcs.at[0].set(jnp.array([s.ego[0] + 1.0, s.ego[1], 0.0, 0.0]))
+    s = s._replace(npcs=npcs)
+    s2, ts = driving.step(CFG, s, jnp.int32(4))
+    assert bool(ts.done)
+    assert float(ts.reward) < -5.0
