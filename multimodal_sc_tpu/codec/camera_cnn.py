@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from multimodal_sc_tpu.kernels.conv_block import FusedConvPReLU
+
 Array = jax.Array
 
 
@@ -65,6 +67,7 @@ class CameraEncoderCNN(nn.Module):
 
     features: Sequence[int] = (32, 64, 128, 128)
     c_sym: int = 8
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -72,13 +75,13 @@ class CameraEncoderCNN(nn.Module):
         x = img.astype(self.dtype)
         strides = (2, 2, 1, 1)
         for i, (f, s) in enumerate(zip(self.features, strides)):
-            x = nn.Conv(f, (5, 5), strides=(s, s), padding="SAME",
-                        dtype=self.dtype, name=f"conv{i}")(x)
-            x = PReLU(name=f"prelu{i}")(x)
+            x = FusedConvPReLU(f, 5, stride=s, use_pallas=self.use_pallas,
+                               dtype=self.dtype, name=f"block{i}")(x)
         if snr_db is not None:
             x = SNRFiLM(self.features[-1], name="snr_film")(x, snr_db)
-        x = nn.Conv(2 * self.c_sym, (5, 5), padding="SAME",
-                    dtype=self.dtype, name="conv_out")(x)
+        x = FusedConvPReLU(2 * self.c_sym, 5, with_prelu=False,
+                           use_pallas=self.use_pallas, dtype=self.dtype,
+                           name="conv_out")(x)
         b, h, w, _ = x.shape
         return x.reshape(b, h * w * self.c_sym, 2).astype(jnp.float32)
 
@@ -90,6 +93,7 @@ class CameraDecoderCNN(nn.Module):
     c_sym: int = 8
     image_hw: tuple = (32, 32)
     out_channels: int = 3
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -97,22 +101,24 @@ class CameraDecoderCNN(nn.Module):
         b = z_hat.shape[0]
         h, w = self.image_hw[0] // 4, self.image_hw[1] // 4
         x = z_hat.reshape(b, h, w, 2 * self.c_sym).astype(self.dtype)
-        x = nn.Conv(self.features[0], (5, 5), padding="SAME",
-                    dtype=self.dtype, name="conv_in")(x)
-        x = PReLU(name="prelu_in")(x)
+        x = FusedConvPReLU(self.features[0], 5, use_pallas=self.use_pallas,
+                           dtype=self.dtype, name="block_in")(x)
         if snr_db is not None:
             x = SNRFiLM(self.features[0], name="snr_film")(x, snr_db)
         strides = (1, 1, 2, 2)
         for i, (f, s) in enumerate(zip(self.features, strides)):
             if s == 1:
-                x = nn.Conv(f, (5, 5), padding="SAME",
-                            dtype=self.dtype, name=f"conv{i}")(x)
+                x = FusedConvPReLU(f, 5, use_pallas=self.use_pallas,
+                                   dtype=self.dtype, name=f"block{i}")(x)
             else:
+                # Upsampling stays on XLA ConvTranspose (Mosaic has no
+                # native transpose-conv; XLA handles it well).
                 x = nn.ConvTranspose(f, (5, 5), strides=(s, s), padding="SAME",
                                      dtype=self.dtype, name=f"deconv{i}")(x)
-            x = PReLU(name=f"prelu{i}")(x)
-        x = nn.Conv(self.out_channels, (5, 5), padding="SAME",
-                    dtype=self.dtype, name="conv_out")(x)
+                x = PReLU(name=f"prelu{i}")(x)
+        x = FusedConvPReLU(self.out_channels, 5, with_prelu=False,
+                           use_pallas=self.use_pallas, dtype=self.dtype,
+                           name="conv_out")(x)
         return nn.sigmoid(x.astype(jnp.float32))
 
 
@@ -149,17 +155,20 @@ class CameraJSCC(nn.Module):
     image_hw: tuple = (32, 32)
     out_channels: int = 3
     snr_conditioning: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.encoder = CameraEncoderCNN(
-            features=self.features, c_sym=self.c_sym, dtype=self.dtype
+            features=self.features, c_sym=self.c_sym,
+            use_pallas=self.use_pallas, dtype=self.dtype
         )
         self.decoder = CameraDecoderCNN(
             features=tuple(reversed(self.features)),
             c_sym=self.c_sym,
             image_hw=self.image_hw,
             out_channels=self.out_channels,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
         )
 

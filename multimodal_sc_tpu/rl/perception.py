@@ -36,7 +36,8 @@ class SemanticPerception(nn.Module):
         cam, lid, fus = self.cfg.camera, self.cfg.lidar, self.cfg.fusion
         dtype = jnp.bfloat16 if self.cfg.train.bf16 else jnp.float32
         self.cam_enc = CameraEncoderCNN(
-            features=cam.features, c_sym=cam.c_sym, dtype=dtype)
+            features=cam.features, c_sym=cam.c_sym,
+            use_pallas=self.cfg.use_pallas, dtype=dtype)
         self.cam_tok = CameraTokensCNN(
             dim=fus.dim, c_sym=cam.c_sym, image_hw=cam.image_hw, dtype=dtype)
         self.pfn = PillarFeatureNet(

@@ -39,6 +39,7 @@ def build_model(cfg: ExperimentConfig):
             c_sym=cfg.camera.c_sym,
             image_hw=cfg.camera.image_hw,
             snr_conditioning=cfg.camera.snr_conditioning,
+            use_pallas=cfg.use_pallas,
             dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
         )
     elif cfg.camera.arch == "vit":
