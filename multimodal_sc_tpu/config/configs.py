@@ -129,6 +129,7 @@ class TrainConfig:
     log_every: int = 50
     checkpoint_every: int = 500
     checkpoint_dir: Optional[str] = None
+    profile_dir: Optional[str] = None   # jax.profiler trace output
     seed: int = 0
     dataset: str = "synthetic_cifar"  # synthetic_cifar | synthetic_kitti | cifar | kitti
     grad_clip: float = 1.0

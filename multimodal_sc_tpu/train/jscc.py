@@ -20,6 +20,7 @@ from multimodal_sc_tpu.channel import channel as channel_op
 from multimodal_sc_tpu.config.configs import ExperimentConfig
 from multimodal_sc_tpu.envs.datasets import ImageDataset
 from multimodal_sc_tpu.evaluation.metrics import psnr
+from multimodal_sc_tpu.obs.profiling import NaNWatchdog, maybe_trace
 from multimodal_sc_tpu.obs.metrics_writer import MetricsWriter, Timer
 from multimodal_sc_tpu.runtime import mesh as mesh_lib
 
@@ -146,6 +147,7 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
     data = ImageDataset(cfg.train.dataset, cfg.train.batch_size,
                         seed=cfg.train.seed)
     writer = MetricsWriter(metrics_path)
+    watchdog = NaNWatchdog()
     last = {}
     ckpt_mgr = None
     if cfg.train.checkpoint_dir:
@@ -162,7 +164,7 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
     # stream as an uninterrupted one (kill-and-resume test, SURVEY §5.3).
     data._step = start_step
     root_key = jax.random.key(cfg.train.seed)
-    with Timer() as t:
+    with maybe_trace(cfg.train.profile_dir), Timer() as t:
         for step in range(start_step, cfg.train.steps):
             img = mesh_lib.shard_batch(dev_mesh, next(data))
             sk = jax.random.fold_in(root_key, step)
@@ -170,6 +172,7 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
             last = metrics
             if (step + 1) % cfg.train.log_every == 0:
                 writer.write(step + 1, metrics)
+                watchdog.check(step + 1, metrics)
             if ckpt_mgr and (step + 1) % cfg.train.checkpoint_every == 0:
                 ckpt_mgr.save(step + 1, state)
     jax.block_until_ready(last)

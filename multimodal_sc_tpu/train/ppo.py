@@ -13,6 +13,7 @@ from typing import Optional
 import jax
 
 from multimodal_sc_tpu.config.configs import ExperimentConfig
+from multimodal_sc_tpu.obs.profiling import NaNWatchdog, maybe_trace
 from multimodal_sc_tpu.obs.metrics_writer import (
     MetricsWriter,
     Timer,
@@ -28,6 +29,7 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
     train_step = ppo_lib.make_train_step(cfg)
 
     writer = MetricsWriter(metrics_path)
+    watchdog = NaNWatchdog()
     ckpt_mgr = None
     if cfg.train.checkpoint_dir:
         from multimodal_sc_tpu.io.checkpoint import CheckpointManager
@@ -38,12 +40,13 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
             state = ppo_lib.PPOState(*restored)
 
     last = {}
-    with Timer() as t:
+    with maybe_trace(cfg.train.profile_dir), Timer() as t:
         for it in range(cfg.train.steps):
             state, metrics = train_step(state)
             last = metrics
             if (it + 1) % cfg.train.log_every == 0:
                 writer.write(it + 1, metrics)
+                watchdog.check(it + 1, metrics)
             if ckpt_mgr and (it + 1) % cfg.train.checkpoint_every == 0:
                 ckpt_mgr.save(it + 1, state)
     jax.block_until_ready(last)
