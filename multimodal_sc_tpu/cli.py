@@ -48,6 +48,10 @@ def main(argv=None) -> int:
             from multimodal_sc_tpu.train import jscc
 
             _, last = jscc.run(cfg, metrics_path=args.metrics)
+        elif task == "jscc_fusion":
+            from multimodal_sc_tpu.train import fusion_jscc
+
+            _, last = fusion_jscc.run(cfg, metrics_path=args.metrics)
         elif task == "dqn":
             from multimodal_sc_tpu.train import dqn
 
@@ -69,6 +73,15 @@ def main(argv=None) -> int:
 
         key = jax.random.key(cfg.train.seed)
         state = jscc.create_train_state(cfg, key)
+        if cfg.train.checkpoint_dir:
+            from multimodal_sc_tpu.io.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(cfg.train.checkpoint_dir)
+            restored = mgr.restore_latest(state)
+            if restored is not None:
+                state = restored
+                print(f"restored step {mgr.latest_step()} from "
+                      f"{cfg.train.checkpoint_dir}", file=sys.stderr)
         model = jscc.build_model(cfg)
         images = next(ImageDataset(cfg.train.dataset, cfg.train.batch_size,
                                    seed=cfg.train.seed))

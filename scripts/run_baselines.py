@@ -1,0 +1,86 @@
+"""Run all five configs on the live TPU and emit BASELINE.md-ready numbers.
+
+Each run records: preset, overrides, seed, final metrics, wall time,
+steps/sec where applicable, plus the bench.py line. Output: baselines.json.
+Usage: python scripts/run_baselines.py [outdir]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "results"
+
+RUNS = [
+    # (name, args)
+    ("c1", ["train", "--config", "c1",
+            "--set", "train.steps=2000", "--set", "train.log_every=200"]),
+    ("c2", ["train", "--config", "c2",
+            "--set", "train.steps=3000", "--set", "train.log_every=200",
+            "--set", f"train.checkpoint_dir={OUT}/ckpt_c2",
+            "--set", "train.checkpoint_every=1000"]),
+    ("c2_sweep", ["eval", "--config", "c2",
+                  "--set", f"train.checkpoint_dir={OUT}/ckpt_c2",
+                  "--out", f"{OUT}/c2_curves.json"]),
+    ("c3", ["train", "--config", "c3",
+            "--set", "train.steps=800", "--set", "train.log_every=100",
+            "--set", "train.batch_size=32"]),
+    ("c4", ["train", "--config", "c4",
+            "--set", "train.steps=1500", "--set", "train.log_every=250",
+            "--set", "rl.eps_decay_steps=1000",
+            "--set", "rl.batch_size=64"]),
+    ("c5", ["train", "--config", "c5",
+            "--set", "train.steps=60", "--set", "train.log_every=10",
+            "--set", "rl.num_envs=64"]),
+]
+
+
+def main() -> None:
+    import os
+
+    os.makedirs(OUT, exist_ok=True)
+    results = {}
+    for name, args in RUNS:
+        print(f"=== {name} ===", flush=True)
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, "-m", "multimodal_sc_tpu.cli", *args],
+            capture_output=True, text=True)
+        wall = time.time() - t0
+        out = proc.stdout.strip().splitlines()
+        last_json = None
+        for line in reversed(out):
+            try:
+                last_json = json.loads(line)
+                break
+            except (json.JSONDecodeError, ValueError):
+                continue
+        results[name] = {
+            "args": args, "wall_s": round(wall, 1),
+            "returncode": proc.returncode, "final": last_json,
+            "stdout_tail": out[-8:],
+        }
+        if proc.returncode != 0:
+            results[name]["stderr_tail"] = proc.stderr.splitlines()[-15:]
+        print(json.dumps(results[name], indent=2), flush=True)
+        with open(f"{OUT}/baselines.json", "w") as f:
+            json.dump(results, f, indent=2)
+
+    t0 = time.time()
+    proc = subprocess.run([sys.executable, "bench.py"],
+                          capture_output=True, text=True)
+    results["bench"] = {
+        "wall_s": round(time.time() - t0, 1),
+        "line": proc.stdout.strip().splitlines()[-1:],
+        "returncode": proc.returncode,
+    }
+    with open(f"{OUT}/baselines.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results["bench"], indent=2))
+
+
+if __name__ == "__main__":
+    main()
