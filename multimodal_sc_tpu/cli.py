@@ -83,11 +83,20 @@ def main(argv=None) -> int:
                 print(f"restored step {mgr.latest_step()} from "
                       f"{cfg.train.checkpoint_dir}", file=sys.stderr)
         model = jscc.build_model(cfg)
-        images = next(ImageDataset(cfg.train.dataset, cfg.train.batch_size,
-                                   seed=cfg.train.seed))
+        with_seg = cfg.camera.seg_classes > 0 and cfg.camera.arch == "cnn"
+        data = ImageDataset(cfg.train.dataset, cfg.train.batch_size,
+                            seed=cfg.train.seed + 999, with_seg=with_seg)
+        if with_seg:
+            images, seg = next(data)
+            seg = jax.numpy.asarray(seg)
+        else:
+            images, seg = next(data), None
         curves = snr_sweep.sweep_camera(model, state.params,
-                                        jax.numpy.asarray(images), key)
+                                        jax.numpy.asarray(images), key,
+                                        seg=seg)
         print(snr_sweep.format_table(curves))
+        if with_seg:
+            print(snr_sweep.format_table(curves, metric="miou"))
         if args.out:
             snr_sweep.save_curves(curves, args.out)
         return 0

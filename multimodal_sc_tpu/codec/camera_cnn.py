@@ -93,11 +93,12 @@ class CameraDecoderCNN(nn.Module):
     c_sym: int = 8
     image_hw: tuple = (32, 32)
     out_channels: int = 3
+    seg_classes: int = 0          # >0: also emit segmentation logits
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, z_hat: Array, snr_db: Optional[Array] = None) -> Array:
+    def __call__(self, z_hat: Array, snr_db: Optional[Array] = None):
         b = z_hat.shape[0]
         h, w = self.image_hw[0] // 4, self.image_hw[1] // 4
         x = z_hat.reshape(b, h, w, 2 * self.c_sym).astype(self.dtype)
@@ -116,10 +117,15 @@ class CameraDecoderCNN(nn.Module):
                 x = nn.ConvTranspose(f, (5, 5), strides=(s, s), padding="SAME",
                                      dtype=self.dtype, name=f"deconv{i}")(x)
                 x = PReLU(name=f"prelu{i}")(x)
-        x = FusedConvPReLU(self.out_channels, 5, with_prelu=False,
-                           use_pallas=self.use_pallas, dtype=self.dtype,
-                           name="conv_out")(x)
-        return nn.sigmoid(x.astype(jnp.float32))
+        recon = FusedConvPReLU(self.out_channels, 5, with_prelu=False,
+                               use_pallas=self.use_pallas, dtype=self.dtype,
+                               name="conv_out")(x)
+        recon = nn.sigmoid(recon.astype(jnp.float32))
+        if self.seg_classes > 0:
+            seg = nn.Conv(self.seg_classes, (3, 3), padding="SAME",
+                          dtype=self.dtype, name="seg_head")(x)
+            return recon, seg.astype(jnp.float32)
+        return recon
 
 
 class CameraTokensCNN(nn.Module):
@@ -154,6 +160,7 @@ class CameraJSCC(nn.Module):
     c_sym: int = 8
     image_hw: tuple = (32, 32)
     out_channels: int = 3
+    seg_classes: int = 0
     snr_conditioning: bool = False
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -168,6 +175,7 @@ class CameraJSCC(nn.Module):
             c_sym=self.c_sym,
             image_hw=self.image_hw,
             out_channels=self.out_channels,
+            seg_classes=self.seg_classes,
             use_pallas=self.use_pallas,
             dtype=self.dtype,
         )
@@ -176,6 +184,13 @@ class CameraJSCC(nn.Module):
         return self.encoder(img, snr_db if self.snr_conditioning else None)
 
     def decode(self, z_hat: Array, snr_db: Optional[Array] = None) -> Array:
+        out = self.decoder(z_hat, snr_db if self.snr_conditioning else None)
+        return out[0] if self.seg_classes > 0 else out
+
+    def decode_seg(self, z_hat: Array, snr_db: Optional[Array] = None):
+        """(recon, seg_logits); only valid when seg_classes > 0."""
+        if self.seg_classes <= 0:
+            raise ValueError("decode_seg requires seg_classes > 0")
         return self.decoder(z_hat, snr_db if self.snr_conditioning else None)
 
     def __call__(self, img: Array, snr_db: Optional[Array] = None) -> Array:

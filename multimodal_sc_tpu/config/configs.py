@@ -51,6 +51,7 @@ class CameraCodecConfig:
     image_hw: Tuple[int, int] = (32, 32)
     features: Tuple[int, ...] = (32, 64, 128, 128)
     c_sym: int = 8
+    seg_classes: int = 0          # >0: receiver segmentation head (mIoU)
     snr_conditioning: bool = False
     # ViT-specific
     patch: int = 4

@@ -32,7 +32,8 @@ def c2_snr_sweep() -> ExperimentConfig:
     return ExperimentConfig(
         name="c2_snr_sweep",
         channel=ChannelConfig(kind="awgn", random_snr=True),
-        camera=CameraCodecConfig(arch="cnn", snr_conditioning=True),
+        camera=CameraCodecConfig(arch="cnn", snr_conditioning=True,
+                                 seg_classes=2),
         train=TrainConfig(task="jscc", steps=3000, dataset="synthetic_cifar"),
     )
 

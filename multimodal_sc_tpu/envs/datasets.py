@@ -23,10 +23,13 @@ import numpy as np
 Array = jax.Array
 
 
-def _synthetic_image_batch(
+def _synthetic_image_seg_batch(
     key: Array, batch: int, hw: Tuple[int, int], channels: int = 3
-) -> Array:
-    """Structured synthetic images in [0,1]: gradients + boxes + texture."""
+) -> Tuple[Array, Array]:
+    """Structured synthetic images in [0,1] + segmentation masks.
+
+    Returns (img (B,H,W,C), seg (B,H,W) int32 with 0=background, 1=box).
+    """
     h, w = hw
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     yy = jnp.linspace(0.0, 1.0, h).reshape(1, h, 1, 1)
@@ -46,7 +49,15 @@ def _synthetic_image_batch(
     img = jnp.where(box, 0.5 * base + 0.5 * color, base)
     noise = 0.02 * jax.random.normal(jax.random.fold_in(key, 7),
                                      (batch, h, w, channels))
-    return jnp.clip(img + noise, 0.0, 1.0).astype(jnp.float32)
+    img = jnp.clip(img + noise, 0.0, 1.0).astype(jnp.float32)
+    seg = box[..., 0].astype(jnp.int32)
+    return img, seg
+
+
+def _synthetic_image_batch(
+    key: Array, batch: int, hw: Tuple[int, int], channels: int = 3
+) -> Array:
+    return _synthetic_image_seg_batch(key, batch, hw, channels)[0]
 
 
 def _try_load_cifar(root: str) -> Optional[np.ndarray]:
@@ -83,13 +94,14 @@ class ImageDataset:
     }
 
     def __init__(self, name: str, batch_size: int, seed: int = 0,
-                 data_root: str = "data"):
+                 data_root: str = "data", with_seg: bool = False):
         if name not in self.SHAPES:
             raise KeyError(f"unknown dataset {name!r}")
         self.name = name
         self.hw = self.SHAPES[name]
         self.batch_size = batch_size
         self.seed = seed
+        self.with_seg = with_seg
         self._real: Optional[np.ndarray] = None
         if name == "cifar":
             self._real = _try_load_cifar(data_root)
@@ -99,12 +111,16 @@ class ImageDataset:
     def __iter__(self) -> Iterator[np.ndarray]:
         return self
 
-    def __next__(self) -> np.ndarray:
-        if self._real is not None:
+    def __next__(self):
+        if self._real is not None and not self.with_seg:
             idx = self._rng.integers(0, len(self._real), self.batch_size)
             return self._real[idx]
         key = jax.random.fold_in(jax.random.key(self.seed), self._step)
         self._step += 1
+        if self.with_seg:
+            img, seg = _synthetic_image_seg_batch(key, self.batch_size,
+                                                  self.hw)
+            return np.asarray(img), np.asarray(seg)
         return np.asarray(
             _synthetic_image_batch(key, self.batch_size, self.hw)
         )

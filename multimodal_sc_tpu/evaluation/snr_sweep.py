@@ -31,30 +31,42 @@ def sweep_camera(
     snrs_db: Sequence[float] = DEFAULT_SNRS,
     kinds: Sequence[str] = ("awgn", "rayleigh"),
     batches_per_point: int = 4,
+    seg: Array = None,
 ) -> Dict[str, List[dict]]:
-    """PSNR curve for an image codec. Returns {kind: [{snr_db, psnr}, ...]}."""
+    """PSNR (+ mIoU when the codec has a seg head and `seg` labels are
+    given) curves for an image codec: {kind: [{snr_db, psnr[, miou]}]}."""
 
     import functools
 
+    with_seg = seg is not None and getattr(model, "seg_classes", 0) > 0
+
     @functools.partial(jax.jit, static_argnames=("kind",))
-    def eval_point(params, img, snr_db, key, kind):
+    def eval_point(params, img, seg, snr_db, key, kind):
         snr_vec = jnp.full((img.shape[0],), snr_db, jnp.float32)
         z = model.apply({"params": params}, img, snr_vec, method="encode")
         z_hat = channel_op(z, snr_vec, kind, key)
+        if with_seg:
+            rec, seg_logits = model.apply({"params": params}, z_hat, snr_vec,
+                                          method="decode_seg")
+            pred = jnp.argmax(seg_logits, axis=-1)
+            return psnr(rec, img), miou(pred, seg, model.seg_classes)
         rec = model.apply({"params": params}, z_hat, snr_vec, method="decode")
-        return psnr(rec, img)
+        return psnr(rec, img), jnp.float32(0)
 
     results: Dict[str, List[dict]] = {}
     for kind in kinds:
         curve = []
         for snr_db in snrs_db:
-            vals = []
+            pv, mv = [], []
             for b in range(batches_per_point):
                 k = jax.random.fold_in(key, hash((kind, snr_db, b)) % (2**31))
-                vals.append(float(eval_point(params, images, float(snr_db),
-                                             k, kind)))
-            curve.append({"snr_db": float(snr_db),
-                          "psnr": float(np.mean(vals))})
+                p, m = eval_point(params, images, seg, float(snr_db), k, kind)
+                pv.append(float(p))
+                mv.append(float(m))
+            point = {"snr_db": float(snr_db), "psnr": float(np.mean(pv))}
+            if with_seg:
+                point["miou"] = float(np.mean(mv))
+            curve.append(point)
         results[kind] = curve
     return results
 

@@ -39,6 +39,7 @@ def build_model(cfg: ExperimentConfig):
             features=cfg.camera.features,
             c_sym=cfg.camera.c_sym,
             image_hw=cfg.camera.image_hw,
+            seg_classes=cfg.camera.seg_classes,
             snr_conditioning=cfg.camera.snr_conditioning,
             use_pallas=cfg.use_pallas,
             dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
@@ -101,21 +102,35 @@ def reconstruct(
 def make_train_step(cfg: ExperimentConfig, model):
     kind = cfg.channel.kind
     normalize = cfg.channel.normalize
+    with_seg = cfg.camera.seg_classes > 0 and cfg.camera.arch == "cnn"
 
-    def loss_fn(params, img, snr_db, key):
-        recon, _ = reconstruct(params, model, img, snr_db, key, kind, normalize)
-        loss = jnp.mean(jnp.square(recon - img))
-        return loss, recon
+    def loss_fn(params, img, seg, snr_db, key):
+        z = model.apply({"params": params}, img, snr_db, method="encode")
+        z_hat = channel_op(z, snr_db, kind, key, normalize=normalize)
+        if with_seg:
+            recon, seg_logits = model.apply(
+                {"params": params}, z_hat, snr_db, method="decode_seg")
+            mse = jnp.mean(jnp.square(recon - img))
+            ce = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+                seg_logits, seg))
+            return mse + 0.1 * ce, (recon, seg_logits)
+        recon = model.apply({"params": params}, z_hat, snr_db,
+                            method="decode")
+        return jnp.mean(jnp.square(recon - img)), (recon, None)
 
     @jax.jit
-    def train_step(state: TrainState, img: Array, key: Array):
+    def train_step(state: TrainState, img: Array, seg, key: Array):
         ksnr, kch = jax.random.split(key)
         snr_db = _sample_snr(cfg, ksnr, img.shape[0])
-        (loss, recon), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, img, snr_db, kch
-        )
+        (loss, (recon, seg_logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, img, seg, snr_db, kch)
         state = state.apply_gradients(grads=grads)
         metrics = {"loss": loss, "psnr": psnr(recon, img)}
+        if with_seg:
+            from multimodal_sc_tpu.evaluation.metrics import miou
+
+            pred = jnp.argmax(seg_logits, axis=-1)
+            metrics["miou"] = miou(pred, seg, cfg.camera.seg_classes)
         return state, metrics
 
     return train_step
@@ -144,8 +159,9 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
     dev_mesh = mesh_lib.make_mesh()
     state = mesh_lib.replicate(dev_mesh, state)
 
+    with_seg = cfg.camera.seg_classes > 0 and cfg.camera.arch == "cnn"
     data = ImageDataset(cfg.train.dataset, cfg.train.batch_size,
-                        seed=cfg.train.seed)
+                        seed=cfg.train.seed, with_seg=with_seg)
     writer = MetricsWriter(metrics_path)
     watchdog = NaNWatchdog()
     last = {}
@@ -166,9 +182,14 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
     root_key = jax.random.key(cfg.train.seed)
     with maybe_trace(cfg.train.profile_dir), Timer() as t:
         for step in range(start_step, cfg.train.steps):
-            img = mesh_lib.shard_batch(dev_mesh, next(data))
+            batch = next(data)
+            if with_seg:
+                img, seg = (mesh_lib.shard_batch(dev_mesh, b) for b in batch)
+            else:
+                img = mesh_lib.shard_batch(dev_mesh, batch)
+                seg = None
             sk = jax.random.fold_in(root_key, step)
-            state, metrics = train_step(state, img, sk)
+            state, metrics = train_step(state, img, seg, sk)
             last = metrics
             if (step + 1) % cfg.train.log_every == 0:
                 writer.write(step + 1, metrics)
