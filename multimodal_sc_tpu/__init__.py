@@ -21,6 +21,7 @@ from multimodal_sc_tpu.channel import (
 )
 from multimodal_sc_tpu.config.configs import ExperimentConfig
 from multimodal_sc_tpu.config.presets import PRESETS, get_preset
+from multimodal_sc_tpu import api
 
 __all__ = [
     "__version__",
@@ -31,6 +32,7 @@ __all__ = [
     "ExperimentConfig",
     "PRESETS",
     "get_preset",
+    "api",
     "encode",
     "decode",
     "act",
