@@ -165,6 +165,40 @@ class ViTDecoderJSCC(nn.Module):
         return nn.sigmoid(x.astype(jnp.float32))
 
 
+class ViTTokensDecoder(nn.Module):
+    """Noisy symbols -> decoded ViT tokens (B, num_patches, dim) for fusion.
+
+    The front half of ViTDecoderJSCC (sym embed + pos + transformer blocks,
+    no pixel head) so RL perception reuses JSCC-pretrained decoding.
+    """
+
+    image_hw: tuple = (32, 32)
+    patch: int = 4
+    dim: int = 128
+    depth: int = 2
+    heads: int = 4
+    c_sym: int = 8
+    use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z_hat: Array, snr_db: Optional[Array] = None) -> Array:
+        b = z_hat.shape[0]
+        n = (self.image_hw[0] // self.patch) * (self.image_hw[1] // self.patch)
+        x = z_hat.reshape(b, n, 2 * self.c_sym)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="sym_embed")(
+            x.astype(self.dtype))
+        pos = self.param("pos", nn.initializers.normal(0.02),
+                         (1, n, self.dim), jnp.float32)
+        x = x + pos.astype(self.dtype)
+        for i in range(self.depth):
+            x = TransformerBlock(self.dim, self.heads,
+                                 use_pallas=self.use_pallas,
+                                 dtype=self.dtype, name=f"block{i}")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln_out")(x)
+        return x.astype(jnp.float32)
+
+
 class ViTJSCC(nn.Module):
     """Bundled ViT encoder/decoder with the codec protocol (encode/decode)."""
 

@@ -35,11 +35,28 @@ class SemanticPerception(nn.Module):
     def setup(self):
         cam, lid, fus = self.cfg.camera, self.cfg.lidar, self.cfg.fusion
         dtype = jnp.bfloat16 if self.cfg.train.bf16 else jnp.float32
-        self.cam_enc = CameraEncoderCNN(
-            features=cam.features, c_sym=cam.c_sym,
-            use_pallas=self.cfg.use_pallas, dtype=dtype)
-        self.cam_tok = CameraTokensCNN(
-            dim=fus.dim, c_sym=cam.c_sym, image_hw=cam.image_hw, dtype=dtype)
+        if cam.arch == "vit":
+            from multimodal_sc_tpu.codec.camera_vit import (
+                ViTEncoderJSCC,
+                ViTTokensDecoder,
+            )
+
+            self.cam_enc = ViTEncoderJSCC(
+                image_hw=cam.image_hw, patch=cam.patch, dim=cam.dim,
+                depth=cam.depth, heads=cam.heads, c_sym=cam.c_sym,
+                snr_conditioning=False, use_pallas=self.cfg.use_pallas,
+                dtype=dtype)
+            self.cam_tok = ViTTokensDecoder(
+                image_hw=cam.image_hw, patch=cam.patch, dim=cam.dim,
+                depth=max(1, cam.depth // 2), heads=cam.heads,
+                c_sym=cam.c_sym, use_pallas=self.cfg.use_pallas, dtype=dtype)
+        else:
+            self.cam_enc = CameraEncoderCNN(
+                features=cam.features, c_sym=cam.c_sym,
+                use_pallas=self.cfg.use_pallas, dtype=dtype)
+            self.cam_tok = CameraTokensCNN(
+                dim=fus.dim, c_sym=cam.c_sym, image_hw=cam.image_hw,
+                dtype=dtype)
         self.pfn = PillarFeatureNet(
             pillar_dim=lid.pillar_dim, bev_hw=lid.bev_hw,
             x_range=lid.x_range, y_range=lid.y_range,
