@@ -84,9 +84,14 @@ def init(cfg: ExperimentConfig, key: Array, num_envs: int) -> DQNState:
     )
     buf = replay.create(example, cfg.rl.replay_capacity)
     zeros = jnp.zeros((num_envs,), jnp.float32)
-    return DQNState(params=params, target_params=params, opt_state=opt_state,
+    # Distinct buffers for target params: the jitted iteration donates the
+    # whole state, and XLA rejects donating the same buffer twice.
+    target_params = jax.tree_util.tree_map(jnp.copy, params)
+    return DQNState(params=params, target_params=target_params,
+                    opt_state=opt_state,
                     env_states=env_states, buffer=buf, key=k_state,
-                    step=jnp.int32(0), ep_return=zeros, last_return=zeros)
+                    step=jnp.int32(0), ep_return=zeros,
+                    last_return=jnp.copy(zeros))
 
 
 def act(cfg: ExperimentConfig, params, image, points, mask, key,
@@ -128,7 +133,9 @@ def make_iteration(cfg: ExperimentConfig, learn: bool = True):
     """Build the single jitted actor+learner iteration."""
     tx = make_optimizer(cfg)
 
-    @jax.jit
+    # Donate the state (incl. the replay buffer's SoA arrays) so XLA
+    # updates it in place instead of double-buffering hundreds of MB.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def iteration(state: DQNState):
         key, k_act, k_step, k_sample, k_loss = jax.random.split(state.key, 5)
 

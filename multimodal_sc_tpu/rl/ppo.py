@@ -65,7 +65,7 @@ def init(cfg: ExperimentConfig, key: Array) -> PPOState:
     zeros = jnp.zeros((cfg.rl.num_envs,), jnp.float32)
     return PPOState(params=params, opt_state=opt_state, env_states=env_states,
                     key=k_state, update=jnp.int32(0), ep_return=zeros,
-                    last_return=zeros)
+                    last_return=jnp.copy(zeros))
 
 
 def act(cfg: ExperimentConfig, params, image, points, mask, key):
@@ -125,7 +125,9 @@ def make_train_step(cfg: ExperimentConfig):
     n_mb = cfg.rl.num_minibatches
     mb_size = (T * B) // n_mb
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: PPOState):
         key, k_roll, k_last, k_perm, k_loss = jax.random.split(state.key, 5)
 
