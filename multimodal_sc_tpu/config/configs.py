@@ -155,7 +155,9 @@ class ExperimentConfig:
     rl: RLConfig = field(default_factory=RLConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
-    use_pallas: bool = False      # flip on to use fused Pallas kernels
+    use_pallas: bool = False      # all fused Pallas kernels (conv+attn+scatter)
+    pallas_attention: bool = False  # just the flash-attention kernel (faster
+                                    # than XLA on v5e; convs stay on XLA)
 
     def override(self, **dotted: Any) -> "ExperimentConfig":
         cfg = self

@@ -41,15 +41,16 @@ class SemanticPerception(nn.Module):
                 ViTTokensDecoder,
             )
 
+            attn_pallas = self.cfg.use_pallas or self.cfg.pallas_attention
             self.cam_enc = ViTEncoderJSCC(
                 image_hw=cam.image_hw, patch=cam.patch, dim=cam.dim,
                 depth=cam.depth, heads=cam.heads, c_sym=cam.c_sym,
-                snr_conditioning=False, use_pallas=self.cfg.use_pallas,
+                snr_conditioning=False, use_pallas=attn_pallas,
                 dtype=dtype)
             self.cam_tok = ViTTokensDecoder(
                 image_hw=cam.image_hw, patch=cam.patch, dim=cam.dim,
                 depth=max(1, cam.depth // 2), heads=cam.heads,
-                c_sym=cam.c_sym, use_pallas=self.cfg.use_pallas, dtype=dtype)
+                c_sym=cam.c_sym, use_pallas=attn_pallas, dtype=dtype)
         else:
             self.cam_enc = CameraEncoderCNN(
                 features=cam.features, c_sym=cam.c_sym,
@@ -67,10 +68,11 @@ class SemanticPerception(nn.Module):
         self.lid_sym_embed = nn.Dense(lid.pillar_dim, dtype=dtype)
         self.lid_dec = BEVBackbone(
             features=(lid.pillar_dim, lid.pillar_dim), dtype=dtype)
+        attn_pallas = self.cfg.use_pallas or self.cfg.pallas_attention
         self.fusion = FusionTransformer(
             dim=fus.dim, depth=fus.depth, heads=fus.heads,
             state_dim=fus.state_dim, mode=fus.mode,
-            use_pallas=self.cfg.use_pallas, dtype=dtype)
+            use_pallas=attn_pallas, dtype=dtype)
 
     def __call__(
         self,
