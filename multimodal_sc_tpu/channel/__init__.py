@@ -4,6 +4,7 @@ from multimodal_sc_tpu.channel.layer import (
     channel,
     power_normalize,
     rayleigh,
+    rician,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "channel",
     "power_normalize",
     "rayleigh",
+    "rician",
 ]

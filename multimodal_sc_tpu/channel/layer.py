@@ -36,7 +36,9 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-CHANNEL_KINDS = ("ideal", "awgn", "rayleigh")
+CHANNEL_KINDS = ("ideal", "awgn", "rayleigh", "rician")
+
+RICIAN_K = 4.0  # LOS-to-scatter power ratio; typical V2V/V2I values 3-7
 
 
 def _num_complex_symbols(z: Array) -> int:
@@ -127,6 +129,36 @@ def rayleigh(
     return _cplx_mul(h_conj, y) / (h_pow + eps)
 
 
+def rician(
+    z: Array,
+    snr_db: Union[float, Array],
+    key: Array,
+    k_factor: float = RICIAN_K,
+    eps: float = 1e-12,
+) -> Array:
+    """Rician block fading (LOS + scatter), perfect-CSI equalization.
+
+    h = sqrt(K/(K+1)) + sqrt(1/(K+1)) * h_scatter, h_scatter ~ CN(0,1), so
+    E[|h|^2] = 1; K -> inf recovers AWGN, K = 0 recovers Rayleigh.
+    """
+    key_h, key_n = jax.random.split(key)
+    batch = z.shape[0]
+    scatter = jax.random.normal(key_h, (batch, 2), dtype=z.dtype) * jnp.sqrt(
+        jnp.asarray(0.5 / (k_factor + 1.0), z.dtype))
+    los = jnp.sqrt(jnp.asarray(k_factor / (k_factor + 1.0), z.dtype))
+    h = scatter.at[:, 0].add(los)
+    h = h.reshape((batch,) + (1,) * (z.ndim - 2) + (2,))
+
+    snr = _broadcast_snr(snr_db, z)
+    sigma = _noise_sigma(snr, z.dtype)
+    noise = sigma * jax.random.normal(key_n, z.shape, dtype=z.dtype)
+
+    y = _cplx_mul(h, z) + noise
+    h_conj = jnp.stack([h[..., 0], -h[..., 1]], axis=-1)
+    h_pow = jnp.sum(jnp.square(h), axis=-1, keepdims=True)
+    return _cplx_mul(h_conj, y) / (h_pow + eps)
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "normalize"))
 def channel(
     z: Array,
@@ -154,4 +186,6 @@ def channel(
         return z
     if kind == "awgn":
         return awgn(z, snr_db, key)
+    if kind == "rician":
+        return rician(z, snr_db, key)
     return rayleigh(z, snr_db, key)

@@ -126,3 +126,39 @@ class TestChannelDispatch:
         y1 = channel(z, 10.0, "rayleigh", jax.random.key(7))
         y2 = channel(z, 10.0, "rayleigh", jax.random.key(7))
         np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+class TestRician:
+    def test_high_k_approaches_awgn_statistics(self, key):
+        """K -> inf: equalized Rician == AWGN-like noise level."""
+        from multimodal_sc_tpu.channel import rician
+
+        z = power_normalize(_rand_symbols(key, batch=64, k=512))
+        y = rician(z, 10.0, jax.random.key(2), k_factor=1e6)
+        noise_p = float(jnp.mean(jnp.sum(jnp.square(y - z), axis=-1)))
+        measured = 10 * np.log10(1.0 / noise_p)
+        assert abs(measured - 10.0) < 0.5
+
+    def test_equalization_exact_at_high_snr(self, key):
+        from multimodal_sc_tpu.channel import rician
+
+        z = power_normalize(_rand_symbols(key, batch=64, k=64))
+        y = rician(z, 200.0, jax.random.key(3))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(z), atol=1e-4)
+
+    def test_mean_h_power_is_unit(self, key):
+        """E[|h|^2] == 1 regardless of K (power-preserving fading)."""
+        from multimodal_sc_tpu.channel.layer import RICIAN_K
+
+        k_factor = RICIAN_K
+        kh = jax.random.key(11)
+        scatter = jax.random.normal(kh, (200000, 2)) * np.sqrt(
+            0.5 / (k_factor + 1))
+        h = scatter.at[:, 0].add(np.sqrt(k_factor / (k_factor + 1)))
+        p = float(jnp.mean(jnp.sum(h**2, axis=-1)))
+        assert abs(p - 1.0) < 0.01
+
+    def test_dispatch(self, key):
+        z = _rand_symbols(key, batch=4, k=16)
+        y = channel(z, 10.0, "rician", jax.random.key(0))
+        assert y.shape == z.shape
