@@ -22,7 +22,9 @@ def main() -> None:
 
     # Flagship act path: config-4 fused perception + policy, vmapped envs.
     cfg = get_preset("c4")
-    num_envs = 256
+    # 1024 parallel envs saturate the chip (measured: 23.5k steps/s/chip at
+    # 256 envs -> 37.7k at 1024; 2048+ hits compile/HBM limits).
+    num_envs = 1024
     key = jax.random.key(0)
     state = dqn_lib.init(cfg, key, num_envs)
     iteration = dqn_lib.make_iteration(cfg, learn=False)  # pure actor path
