@@ -32,6 +32,13 @@ def main(argv=None) -> int:
     s.add_argument("--config", required=True)
     s.add_argument("--set", action="append", default=[], dest="overrides")
 
+    pe = sub.add_parser("eval-policy",
+                        help="mean episode reward of a DQN/PPO policy")
+    pe.add_argument("--config", required=True)
+    pe.add_argument("--set", action="append", default=[], dest="overrides")
+    pe.add_argument("--episodes", type=int, default=32)
+    pe.add_argument("--seed", type=int, default=0)
+
     args = p.parse_args(argv)
 
     from multimodal_sc_tpu.config.presets import get_preset
@@ -64,6 +71,39 @@ def main(argv=None) -> int:
             print(f"unknown task {task!r}", file=sys.stderr)
             return 2
         print(json.dumps({k: float(v) for k, v in last.items()}))
+        return 0
+
+    if args.cmd == "eval-policy":
+        from multimodal_sc_tpu.evaluation import policy_eval
+
+        key = jax.random.key(args.seed)
+        if cfg.train.task == "dqn" or cfg.rl.algo == "dqn":
+            from multimodal_sc_tpu.rl import dqn as dqn_lib
+
+            state = dqn_lib.init(cfg, key, num_envs=args.episodes)
+            if cfg.train.checkpoint_dir:
+                from multimodal_sc_tpu.io.checkpoint import CheckpointManager
+
+                mgr = CheckpointManager(cfg.train.checkpoint_dir)
+                restored = mgr.restore_latest(state)
+                if restored is not None:
+                    state = dqn_lib.DQNState(*restored)
+            out = policy_eval.evaluate_dqn(cfg, state.params, key,
+                                           num_envs=args.episodes)
+        else:
+            from multimodal_sc_tpu.rl import ppo as ppo_lib
+
+            state = ppo_lib.init(cfg, key)
+            if cfg.train.checkpoint_dir:
+                from multimodal_sc_tpu.io.checkpoint import CheckpointManager
+
+                mgr = CheckpointManager(cfg.train.checkpoint_dir)
+                restored = mgr.restore_latest(state)
+                if restored is not None:
+                    state = ppo_lib.PPOState(*restored)
+            out = policy_eval.evaluate_ppo(cfg, state.params, key,
+                                           num_envs=args.episodes)
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "eval":

@@ -1,0 +1,2 @@
+from multimodal_sc_tpu.evaluation.metrics import confusion_matrix, miou, mse, psnr
+from multimodal_sc_tpu.evaluation import policy_eval, snr_sweep

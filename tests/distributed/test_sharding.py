@@ -64,12 +64,12 @@ def test_sharded_jscc_train_step_matches_single_device(mesh8, key):
     k = jax.random.key(7)
 
     # Single device.
-    s1, m1 = step(state, img, k)
+    s1, m1 = step(state, img, None, k)
 
     # Sharded over the 8-device mesh.
     state_r = mesh_lib.replicate(mesh8, state)
     img_s = jax.device_put(img, NamedSharding(mesh8, P("data", None, None, None)))
-    s2, m2 = step(state_r, img_s, k)
+    s2, m2 = step(state_r, img_s, None, k)
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=1e-5)
