@@ -87,6 +87,7 @@ class FusionConfig:
 class EnvConfig:
     name: str = "drive-v0"
     num_npcs: int = 4
+    camera_mode: str = "topdown"  # topdown | front (perspective pinhole)
     image_hw: Tuple[int, int] = (32, 32)
     lidar_rays: int = 64
     max_steps: int = 128

@@ -171,6 +171,73 @@ def render_camera(cfg: EnvConfig, state: EnvState) -> Array:
     return img.astype(jnp.float32)
 
 
+def render_camera_front(cfg: EnvConfig, state: EnvState) -> Array:
+    """Perspective pinhole front camera at the ego (CARLA-style view).
+
+    Camera at height 1.5 m looking along +x (ego frame); ground-plane
+    intersection colors road/lanes/grass, NPC boxes are projected and drawn
+    as smooth billboards with nearer cars occluding the ground. Static
+    shapes, pure VPU math — vmap/jit friendly.
+    """
+    h, w = cfg.image_hw
+    f = 1.2                      # focal (normalized image plane)
+    cam_h = 1.5
+    half_w = _road_half_width(cfg)
+
+    u = jnp.linspace(-1.0, 1.0, w).reshape(1, w)      # right positive
+    v = jnp.linspace(1.0, -1.0, h).reshape(h, 1)      # top row = +1
+
+    # Ground-plane intersection (pixels below the horizon v<0):
+    below = v < -1e-3
+    depth = jnp.where(below, f * cam_h / jnp.maximum(-v, 1e-3), 1e6)  # (h,1)
+    depth2d = jnp.broadcast_to(depth, (h, w))
+    lat = u * depth2d / f                              # lateral (left neg)
+    world_y = state.ego[1] - lat                       # y left-positive
+    world_x = state.ego[0] + depth2d
+
+    on_road = (jnp.abs(world_y) <= half_w) & below
+    grass = below & ~on_road
+    sky = ~below
+
+    img = (sky[..., None] * jnp.array([0.45, 0.62, 0.85])
+           + grass[..., None] * jnp.array([0.12, 0.35, 0.12])
+           + on_road[..., None] * jnp.array([0.25, 0.25, 0.27]))
+
+    # Lane markings: distance to nearest boundary < 0.15 m, dashed by x.
+    bounds = _lane_centers(cfg)[:-1] + cfg.lane_width / 2.0
+    dist = jnp.min(jnp.abs(world_y[..., None] - bounds.reshape(1, 1, -1)),
+                   axis=-1)
+    dash = (jnp.mod(world_x, 4.0) < 2.0)
+    marking = (dist < 0.15) & dash & on_road
+    img = jnp.where(marking[..., None], jnp.array([0.85, 0.85, 0.85]), img)
+
+    # NPC billboards: project rel (dx, dy) into (u, v); nearer occlude.
+    rel_x = state.npcs[:, 0] - state.ego[0]            # (N,) forward
+    rel_y = state.npcs[:, 1] - state.ego[1]            # left positive
+    visible = rel_x > 1.0
+    xz = jnp.maximum(rel_x, 1.0)
+    u_c = -f * rel_y / xz                              # (N,)
+    u_half = f * (2 * CAR_HALF_WID) / xz
+    v_bot = -f * cam_h / xz
+    v_top = -f * (cam_h - 1.6) / xz                    # car height 1.6 m
+    inu = jax.nn.sigmoid(
+        (u_half.reshape(1, 1, -1)
+         - jnp.abs(u[..., None] - u_c.reshape(1, 1, -1))) * 40.0)
+    inv_ = jax.nn.sigmoid((v[..., None] - v_bot.reshape(1, 1, -1)) * 40.0) \
+        * jax.nn.sigmoid((v_top.reshape(1, 1, -1) - v[..., None]) * 40.0)
+    npc_m = inu * inv_ * visible.reshape(1, 1, -1)
+    # Nearest (largest on screen) wins: weight by 1/x.
+    weight = npc_m * (1.0 / xz).reshape(1, 1, -1)
+    total = jnp.clip(jnp.sum(npc_m, axis=-1), 0.0, 1.0)
+    # Shade by distance: near cars brighter red.
+    shade = jnp.sum(weight, axis=-1) / (jnp.sum(npc_m, axis=-1) + 1e-6)
+    car_col = jnp.stack([0.6 + 8.0 * shade, 0.1 + 0.0 * shade,
+                         0.1 + 0.0 * shade], axis=-1)
+    img = img * (1 - total[..., None]) + jnp.clip(car_col, 0, 1) \
+        * total[..., None]
+    return jnp.clip(img, 0.0, 1.0).astype(jnp.float32)
+
+
 def lidar_scan(cfg: EnvConfig, state: EnvState) -> Tuple[Array, Array]:
     """Fixed ray fan vs NPC circles. Returns (points (R,4), mask (R,)).
 
@@ -207,7 +274,10 @@ def lidar_scan(cfg: EnvConfig, state: EnvState) -> Tuple[Array, Array]:
 
 
 def observe(cfg: EnvConfig, state: EnvState) -> Tuple[Array, Array, Array]:
-    img = render_camera(cfg, state)
+    if cfg.camera_mode == "front":
+        img = render_camera_front(cfg, state)
+    else:
+        img = render_camera(cfg, state)
     pts, mask = lidar_scan(cfg, state)
     return img, pts, mask
 

@@ -105,3 +105,40 @@ def test_collision_detection(key):
     s2, ts = driving.step(CFG, s, jnp.int32(4))
     assert bool(ts.done)
     assert float(ts.reward) < -5.0
+
+
+def test_front_camera_renders(key):
+    from multimodal_sc_tpu.config.configs import EnvConfig as _EC
+
+    cfg = _EC(num_npcs=4, image_hw=(32, 32), lidar_rays=32,
+              camera_mode="front")
+    s = driving.reset(cfg, key)
+    img, pts, mask = driving.observe(cfg, s)
+    assert img.shape == (32, 32, 3)
+    a = np.asarray(img)
+    assert a.min() >= 0 and a.max() <= 1
+    # Sky in the top rows, ground color in the bottom rows.
+    assert a[0].mean(axis=0)[2] > 0.5          # blue-ish sky
+    assert a[-1].mean() < 0.6                   # road/grass darker
+    # An NPC directly ahead must appear red-ish somewhere.
+    npcs = s.npcs.at[0].set(jnp.array([s.ego[0] + 8.0, s.ego[1], 0.0, 5.0]))
+    s2 = s._replace(npcs=npcs)
+    img2, _, _ = driving.observe(cfg, s2)
+    red = np.asarray(img2[..., 0] - img2[..., 1])
+    assert red.max() > 0.3
+
+
+def test_front_camera_jit_vmap(key):
+    from multimodal_sc_tpu.config.configs import EnvConfig as _EC
+
+    cfg = _EC(num_npcs=2, image_hw=(16, 16), lidar_rays=16,
+              camera_mode="front")
+    states = driving.reset_batch(cfg, key, 4)
+
+    @jax.jit
+    def obs(states):
+        return driving.observe_batch(cfg, states)
+
+    img, pts, mask = obs(states)
+    assert img.shape == (4, 16, 16, 3)
+    assert np.all(np.isfinite(np.asarray(img)))
