@@ -119,6 +119,41 @@ def _ppo_loss(params, batch, cfg: ExperimentConfig, key: Array):
     return total, {"pg_loss": pg_loss, "v_loss": v_loss, "entropy": entropy}
 
 
+def shard_state(state: PPOState, mesh, tp: bool = True) -> PPOState:
+    """Place a PPOState on a mesh: envs/accumulators over `data`, params
+    TP-sharded over `model` (when tp and the axis exists), rest replicated.
+    Degrades to a no-op layout on a 1x1 mesh. Used by the train driver and
+    the multichip dry run (BASELINE.json:5 'sharded over a TPU mesh')."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_sc_tpu.runtime import mesh as mesh_lib
+    from multimodal_sc_tpu.runtime.tp import apply_tp
+
+    repl = NamedSharding(mesh, P())
+
+    def data_sh(ndim):
+        return NamedSharding(
+            mesh, P(mesh_lib.DATA_AXIS, *([None] * (ndim - 1))))
+
+    def shard_env_leaf(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.device_put(x, data_sh(x.ndim))
+        return jax.device_put(x, repl)
+
+    use_tp = tp and mesh.shape.get(mesh_lib.MODEL_AXIS, 1) > 1
+    params = (apply_tp(state.params, mesh) if use_tp
+              else jax.device_put(state.params, repl))
+    return PPOState(
+        params=params,
+        opt_state=jax.device_put(state.opt_state, repl),
+        env_states=jax.tree_util.tree_map(shard_env_leaf, state.env_states),
+        key=jax.device_put(state.key, repl),
+        update=jax.device_put(state.update, repl),
+        ep_return=jax.device_put(state.ep_return, data_sh(1)),
+        last_return=jax.device_put(state.last_return, data_sh(1)),
+    )
+
+
 def make_train_step(cfg: ExperimentConfig):
     tx = make_optimizer(cfg)
     T, B = cfg.rl.rollout_length, cfg.rl.num_envs

@@ -26,6 +26,13 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
     key = jax.random.key(cfg.train.seed)
     key, k_init = jax.random.split(key)
     state = ppo_lib.init(cfg, k_init)
+    # Shard envs/accumulators over the device mesh (degrades to 1 chip).
+    from multimodal_sc_tpu.runtime import mesh as mesh_lib
+
+    dev_mesh = mesh_lib.make_mesh(
+        data=cfg.mesh.data_axis, model=cfg.mesh.model_axis,
+        axis_names=cfg.mesh.axis_names)
+    state = ppo_lib.shard_state(state, dev_mesh)
     train_step = ppo_lib.make_train_step(cfg)
 
     writer = MetricsWriter(metrics_path)

@@ -1,0 +1,71 @@
+"""Roofline accounting for the flagship fused act path.
+
+Prints XLA's own cost analysis (FLOPs / bytes accessed) for one bench
+iteration, the arithmetic intensity, and the achieved fraction of the
+chip's peak given the measured steps/sec — so 'speed-of-light' claims are
+grounded in compiler-reported numbers, not guesses.
+
+Usage: python scripts/roofline.py [num_envs]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+
+# v5e (v5 lite) public peak numbers.
+PEAK_BF16_FLOPS = 197e12
+PEAK_F32_FLOPS = 98.5e12   # MXU fp32 ~ half of bf16
+HBM_BW = 819e9             # bytes/s
+
+
+def main() -> None:
+    num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+
+    from multimodal_sc_tpu.config.presets import get_preset
+    from multimodal_sc_tpu.rl import dqn as dqn_lib
+
+    cfg = get_preset("c4")
+    state = dqn_lib.init(cfg, jax.random.key(0), num_envs)
+    iteration = dqn_lib.make_iteration(cfg, learn=False)
+
+    lowered = iteration.lower(state)
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    flops = float(ca.get("flops", 0.0))
+    bytes_acc = float(ca.get("bytes accessed", 0.0))
+
+    # Measure achieved wall time per iteration.
+    state2, m = iteration(state)
+    jax.block_until_ready(m)
+    iters = 20
+    t0 = time.perf_counter()
+    s = state2
+    for _ in range(iters):
+        s, m = iteration(s)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / iters
+
+    intensity = flops / max(bytes_acc, 1.0)
+    achieved_flops = flops / dt
+    achieved_bw = bytes_acc / dt
+    ridge = PEAK_F32_FLOPS / HBM_BW
+
+    print(f"num_envs                : {num_envs}")
+    print(f"XLA flops / iteration   : {flops:.3e}")
+    print(f"XLA bytes  / iteration  : {bytes_acc:.3e}")
+    print(f"arithmetic intensity    : {intensity:.1f} flop/byte "
+          f"(ridge ~{ridge:.0f} -> "
+          f"{'compute' if intensity > ridge else 'memory'}-bound regime)")
+    print(f"wall / iteration        : {dt*1e3:.2f} ms")
+    print(f"achieved FLOP/s         : {achieved_flops:.3e} "
+          f"({achieved_flops/PEAK_F32_FLOPS:.1%} of f32 peak)")
+    print(f"achieved HBM bandwidth  : {achieved_bw:.3e} B/s "
+          f"({achieved_bw/HBM_BW:.1%} of peak)")
+    print(f"agent steps/sec/chip    : {num_envs/dt:.0f}")
+
+
+if __name__ == "__main__":
+    main()
