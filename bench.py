@@ -16,6 +16,9 @@ import jax.numpy as jnp
 
 
 def main() -> None:
+    from multimodal_sc_tpu.runtime.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from multimodal_sc_tpu.config.presets import get_preset
     from multimodal_sc_tpu.envs import driving
     from multimodal_sc_tpu.rl import dqn as dqn_lib

@@ -41,6 +41,10 @@ def main(argv=None) -> int:
 
     args = p.parse_args(argv)
 
+    from multimodal_sc_tpu.runtime.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from multimodal_sc_tpu.config.presets import get_preset
 
     cfg = get_preset(args.config).override_str(args.overrides)

@@ -10,3 +10,4 @@ from multimodal_sc_tpu.runtime.mesh import (
 )
 from multimodal_sc_tpu.runtime.prefetch import prefetch_to_device
 from multimodal_sc_tpu.runtime.tp import apply_tp, tp_param_shardings
+from multimodal_sc_tpu.runtime.cache import enable_compilation_cache
