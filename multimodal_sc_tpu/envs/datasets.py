@@ -60,6 +60,47 @@ def _synthetic_image_batch(
     return _synthetic_image_seg_batch(key, batch, hw, channels)[0]
 
 
+def _try_load_kitti_crops(
+    root: str, hw: Tuple[int, int], max_images: int = 2000
+) -> Optional[np.ndarray]:
+    """Load KITTI-style images from data/kitti/**.png|jpg as random crops.
+
+    Degrades to None (-> synthetic fallback) when the directory or PIL is
+    absent. Crops are taken center-biased at load time so the array is a
+    fixed (N, h, w, 3) float32 bank the iterator samples from.
+    """
+    d = os.path.join(root, "kitti")
+    if not os.path.isdir(d):
+        return None
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    paths = []
+    for base, _, files in os.walk(d):
+        paths += [os.path.join(base, f) for f in files
+                  if f.lower().endswith((".png", ".jpg", ".jpeg"))]
+    if not paths:
+        return None
+    h, w = hw
+    rng = np.random.default_rng(0)
+    crops = []
+    for p in sorted(paths)[:max_images]:
+        try:
+            img = np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
+        except OSError:
+            continue
+        if img.shape[0] < h or img.shape[1] < w:
+            continue
+        for _ in range(4):  # 4 crops per frame
+            y0 = rng.integers(0, img.shape[0] - h + 1)
+            x0 = rng.integers(0, img.shape[1] - w + 1)
+            crops.append(img[y0:y0 + h, x0:x0 + w])
+    if not crops:
+        return None
+    return np.stack(crops)
+
+
 def _try_load_cifar(root: str) -> Optional[np.ndarray]:
     """Load CIFAR-10 python-format batches if present on disk."""
     d = os.path.join(root, "cifar-10-batches-py")
@@ -105,6 +146,8 @@ class ImageDataset:
         self._real: Optional[np.ndarray] = None
         if name == "cifar":
             self._real = _try_load_cifar(data_root)
+        elif name == "kitti":
+            self._real = _try_load_kitti_crops(data_root, self.hw)
         self._rng = np.random.default_rng(seed)
         self._step = 0
 
