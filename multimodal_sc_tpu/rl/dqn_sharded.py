@@ -1,0 +1,209 @@
+"""SPMD DQN: the whole actor+learner iteration under ``shard_map``.
+
+Spec: BASELINE.json:5 ("Replay buffer and advantage computation live
+on-device", "sharded over a TPU mesh"); SURVEY.md §2.2 replay design ("each
+data-parallel shard stores/samples its own transitions — no cross-shard
+gather needed") and §7 hard-part 2.
+
+Layout: params / target / opt state replicated (``P()``); env states,
+episode stats, PRNG keys, and an independent circular replay buffer per
+shard over the ``data`` axis. The only collective in the whole iteration is
+one ``psum`` (pmean) of gradients over ICI — exactly the comm boundary from
+SURVEY.md §3.2c.
+
+Runs identically on 1 chip (trivial mesh) and N chips; validated on the
+8-virtual-device CPU mesh (tests/distributed/test_dqn_sharded.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from multimodal_sc_tpu.config.configs import ExperimentConfig
+from multimodal_sc_tpu.envs import driving
+from multimodal_sc_tpu.rl import replay
+from multimodal_sc_tpu.rl.dqn import Transition, _epsilon, _td_loss, act
+from multimodal_sc_tpu.rl.dqn import make_optimizer
+from multimodal_sc_tpu.rl.perception import QNetwork
+from multimodal_sc_tpu.runtime.mesh import DATA_AXIS
+
+Array = jax.Array
+
+
+class ShardedDQNState(NamedTuple):
+    params: Any          # replicated
+    target_params: Any   # replicated
+    opt_state: Any       # replicated
+    env_states: Any      # (S * E, ...) sharded over data
+    buffer_data: Any     # (S, capacity, ...) sharded over data
+    buffer_cursor: Array  # (S,)
+    buffer_size: Array    # (S,)
+    keys: Array          # (S,) per-shard PRNG keys, sharded
+    step: Array          # () replicated gradient-step counter
+    ep_return: Array     # (S * E,) sharded
+    last_return: Array   # (S * E,) sharded
+
+
+def init(cfg: ExperimentConfig, key: Array, mesh,
+         envs_per_shard: int = 8) -> ShardedDQNState:
+    n_shards = mesh.shape[DATA_AXIS]
+    total_envs = n_shards * envs_per_shard
+    k_env, k_par, k_shard = jax.random.split(key, 3)
+    env_states = driving.reset_batch(cfg.env, k_env, total_envs)
+    img, pts, mask = driving.observe_batch(cfg.env, env_states)
+
+    net = QNetwork(cfg)
+    params = net.init(k_par, img[:1], pts[:1], mask[:1], jax.random.key(0))[
+        "params"]
+    opt_state = make_optimizer(cfg).init(params)
+
+    example = Transition(
+        image=img[0], points=pts[0], mask=mask[0],
+        action=jnp.int32(0), reward=jnp.float32(0), done=jnp.bool_(False),
+        next_image=img[0], next_points=pts[0], next_mask=mask[0],
+    )
+    one_buf = replay.create(example, cfg.rl.replay_capacity)
+    buffer_data = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n_shards,) + x.shape).copy(),
+        one_buf.data)
+
+    repl = NamedSharding(mesh, P())
+    shard1 = NamedSharding(mesh, P(DATA_AXIS))
+
+    def put_data(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1)))))
+
+    zeros = jnp.zeros((total_envs,), jnp.float32)
+    return ShardedDQNState(
+        params=jax.device_put(params, repl),
+        target_params=jax.device_put(
+            jax.tree_util.tree_map(jnp.copy, params), repl),
+        opt_state=jax.device_put(opt_state, repl),
+        env_states=jax.tree_util.tree_map(put_data, env_states),
+        buffer_data=jax.tree_util.tree_map(put_data, buffer_data),
+        buffer_cursor=jax.device_put(jnp.zeros((n_shards,), jnp.int32),
+                                     shard1),
+        buffer_size=jax.device_put(jnp.zeros((n_shards,), jnp.int32), shard1),
+        keys=jax.device_put(jax.random.split(k_shard, n_shards), shard1),
+        step=jax.device_put(jnp.int32(0), repl),
+        ep_return=put_data(zeros),
+        last_return=put_data(jnp.copy(zeros)),
+    )
+
+
+def make_iteration(cfg: ExperimentConfig, mesh):
+    tx = make_optimizer(cfg)
+    capacity = cfg.rl.replay_capacity
+
+    def shard_fn(params, target_params, opt_state, env_states, buffer_data,
+                 cursor, size, keys, step, ep_return, last_return):
+        # Inside shard_map: leading shard dims are local (size 1 for the
+        # buffer stack, E for env arrays). Unstack the local buffer.
+        buf = replay.ReplayBuffer(
+            data=jax.tree_util.tree_map(lambda x: x[0], buffer_data),
+            cursor=cursor[0], size=size[0], capacity=capacity)
+        key = keys[0]
+        key, k_act, k_sample, k_loss = jax.random.split(key, 4)
+
+        img, pts, mask = driving.observe_batch(cfg.env, env_states)
+        eps = _epsilon(cfg, step)
+        actions = act(cfg, params, img, pts, mask, k_act, eps)
+        env_states, ts = driving.step_batch(cfg.env, env_states, actions)
+
+        ep_return = ep_return + ts.reward
+        last_return = jnp.where(ts.done, ep_return, last_return)
+        ep_return = jnp.where(ts.done, 0.0, ep_return)
+
+        trans = Transition(
+            image=img, points=pts, mask=mask, action=actions,
+            reward=ts.reward, done=ts.done,
+            next_image=ts.image, next_points=ts.points, next_mask=ts.mask)
+        buf = replay.add_batch(buf, trans)
+
+        def do_learn(args):
+            params, target_params, opt_state, step = args
+            batch = replay.sample(buf, k_sample, cfg.rl.batch_size)
+            loss, grads = jax.value_and_grad(
+                lambda p: _td_loss(p, target_params, batch, k_loss, cfg))(
+                params)
+            # THE comm boundary: mean grads (and loss, for logging) over ICI.
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, params, updates)
+            step = step + 1
+            sync = (step % cfg.rl.target_update_period) == 0
+            target_params = jax.tree_util.tree_map(
+                lambda t, p: jnp.where(sync, p, t), target_params, params)
+            return params, target_params, opt_state, step, loss
+
+        def skip(args):
+            params, target_params, opt_state, step = args
+            return params, target_params, opt_state, step, jnp.float32(0)
+
+        warm = buf.size >= cfg.rl.batch_size
+        params, target_params, opt_state, step, loss = jax.lax.cond(
+            warm, do_learn, skip,
+            (params, target_params, opt_state, step))
+
+        metrics = {
+            "loss": loss,
+            "reward": jax.lax.pmean(jnp.mean(ts.reward), DATA_AXIS),
+            "episode_return": jax.lax.pmean(jnp.mean(last_return), DATA_AXIS),
+            "buffer_size": buf.size.astype(jnp.float32),
+        }
+        return (params, target_params, opt_state, env_states,
+                jax.tree_util.tree_map(lambda x: x[None], buf.data),
+                buf.cursor[None], buf.size[None], key[None], step,
+                ep_return, last_return, metrics)
+
+    d = P(DATA_AXIS)
+    dn = lambda ndim: P(DATA_AXIS, *([None] * (ndim - 1)))  # noqa: E731
+    r = P()
+
+    def specs_like(tree, spec_fn):
+        return jax.tree_util.tree_map(
+            lambda x: spec_fn(jnp.ndim(x)), tree,
+            is_leaf=lambda x: hasattr(x, "ndim"))
+
+    @jax.jit
+    def iteration(state: ShardedDQNState):
+        in_specs = (
+            jax.tree_util.tree_map(lambda _: r, state.params),
+            jax.tree_util.tree_map(lambda _: r, state.target_params),
+            jax.tree_util.tree_map(lambda _: r, state.opt_state),
+            specs_like(state.env_states, dn),
+            specs_like(state.buffer_data, dn),
+            d, d, d, r,
+            d, d,
+        )
+        out_specs = (
+            jax.tree_util.tree_map(lambda _: r, state.params),
+            jax.tree_util.tree_map(lambda _: r, state.target_params),
+            jax.tree_util.tree_map(lambda _: r, state.opt_state),
+            specs_like(state.env_states, dn),
+            specs_like(state.buffer_data, dn),
+            d, d, d, r,
+            d, d,
+            {k: r for k in ("loss", "reward", "episode_return",
+                            "buffer_size")},
+        )
+        out = shard_map(
+            shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )(state.params, state.target_params, state.opt_state,
+          state.env_states, state.buffer_data, state.buffer_cursor,
+          state.buffer_size, state.keys, state.step, state.ep_return,
+          state.last_return)
+        metrics = out[-1]
+        new_state = ShardedDQNState(*out[:-1])
+        return new_state, metrics
+
+    return iteration
