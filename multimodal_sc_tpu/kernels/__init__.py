@@ -13,3 +13,4 @@ from multimodal_sc_tpu.kernels.pillar_scatter import (
     scatter_max_pallas,
     scatter_max_reference,
 )
+from multimodal_sc_tpu.kernels.ring_attention import ring_attention, shard_sequence
