@@ -36,6 +36,7 @@ __all__ = [
     "encode",
     "decode",
     "act",
+    "make_train_step",
     "train_step",
 ]
 
@@ -50,16 +51,58 @@ def decode(model, params, z_hat, snr_db=None):
     return model.apply({"params": params}, z_hat, snr_db, method="decode")
 
 
-def act(agent, params, obs, key, **kw):
-    """Select an action with an RL agent (DQN/PPO). See rl subpackage."""
-    return agent.act(params, obs, key, **kw)
+def act(cfg, params, image, points, mask, key, **kw):
+    """Select an action for a batch of observations (BASELINE.json:5 verb).
 
-
-def train_step(trainer_state, *args, **kw):
-    """One jitted optimization step; dispatches on the bound trainer.
-
-    Each task driver (train.jscc / rl.dqn / rl.ppo) exposes a
-    ``make_train_step(cfg, ...)`` factory returning the jitted step; this
-    top-level verb forwards to a step already bound on the state object.
+    Dispatches on cfg.rl.algo: DQN returns actions (int32 (B,), pass
+    ``epsilon=`` for exploration); PPO returns (actions, logp, value).
     """
-    return trainer_state.train_step(trainer_state, *args, **kw)
+    if cfg.rl.algo == "ppo":
+        from multimodal_sc_tpu.rl import ppo as _ppo
+
+        return _ppo.act(cfg, params, image, points, mask, key, **kw)
+    from multimodal_sc_tpu.rl import dqn as _dqn
+
+    return _dqn.act(cfg, params, image, points, mask, key, **kw)
+
+
+def make_train_step(cfg, *args, **kw):
+    """The jitted train_step for cfg's task (BASELINE.json:5 verb).
+
+    jscc: make_train_step(cfg, model) -> step(state, img, seg, key);
+    jscc_fusion: step(state, img, pts, mask, key);
+    dqn: the fused actor+learner iteration(state);
+    ppo: the rollout+GAE+update train_step(state).
+    """
+    task = cfg.train.task
+    if task == "jscc":
+        from multimodal_sc_tpu.train import jscc as _jscc
+
+        model = args[0] if args else _jscc.build_model(cfg)
+        return _jscc.make_train_step(cfg, model)
+    if task == "jscc_fusion":
+        from multimodal_sc_tpu.train import fusion_jscc as _fj
+
+        return _fj.make_train_step(cfg)
+    if task == "dqn":
+        from multimodal_sc_tpu.rl import dqn as _dqn
+
+        return _dqn.make_iteration(cfg, **kw)
+    if task == "ppo":
+        from multimodal_sc_tpu.rl import ppo as _ppo
+
+        return _ppo.make_train_step(cfg)
+    raise ValueError(f"unknown task {task!r}")
+
+
+def train_step(cfg, state, *args, **kw):
+    """One optimization step: builds (and caches) the jitted step for cfg
+    and applies it. Returns (new_state, metrics)."""
+    step = _train_step_cache.get(cfg)
+    if step is None:
+        step = make_train_step(cfg)
+        _train_step_cache[cfg] = step
+    return step(state, *args, **kw)
+
+
+_train_step_cache = {}

@@ -156,7 +156,11 @@ class ImageDataset:
 
     def __next__(self):
         if self._real is not None and not self.with_seg:
-            idx = self._rng.integers(0, len(self._real), self.batch_size)
+            # rng derived from (seed, step) so kill-and-resume replays the
+            # exact stream (jscc.run sets _step = restored step).
+            rng = np.random.default_rng((self.seed, self._step))
+            self._step += 1
+            idx = rng.integers(0, len(self._real), self.batch_size)
             return self._real[idx]
         key = jax.random.fold_in(jax.random.key(self.seed), self._step)
         self._step += 1

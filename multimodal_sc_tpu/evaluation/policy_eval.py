@@ -8,7 +8,7 @@ CREATES the baseline: fixed seed, greedy policy, full episodes via
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
@@ -18,12 +18,15 @@ from multimodal_sc_tpu.envs import driving
 
 Array = jax.Array
 
+# act_fn(params, image, points, mask, key) -> int32 actions (B,)
+ActFn = Callable[..., Array]
 
-def evaluate_dqn(cfg: ExperimentConfig, params, key: Array,
-                 num_envs: int = 32) -> Dict[str, float]:
-    """Greedy DQN policy, episodes run to cfg.env.max_steps."""
-    from multimodal_sc_tpu.rl import dqn as dqn_lib
 
+def _rollout_returns(
+    cfg: ExperimentConfig, params, act_fn: ActFn, key: Array, num_envs: int,
+) -> Dict[str, float]:
+    """Shared episode-return rollout: accumulate reward to each env's FIRST
+    done over cfg.env.max_steps, entirely on device."""
     k_env, k_run = jax.random.split(key)
     states = driving.reset_batch(cfg.env, k_env, num_envs)
 
@@ -33,10 +36,8 @@ def evaluate_dqn(cfg: ExperimentConfig, params, key: Array,
             states, key, ret, done_seen = carry
             key, k = jax.random.split(key)
             img, pts, mask = driving.observe_batch(cfg.env, states)
-            a = dqn_lib.act(cfg, params, img, pts, mask, k,
-                            epsilon=jnp.float32(0.0))
+            a = act_fn(params, img, pts, mask, k)
             states, ts = driving.step_batch(cfg.env, states, a)
-            # Accumulate reward only until each env's FIRST done.
             ret = ret + ts.reward * (1.0 - done_seen)
             done_seen = jnp.maximum(done_seen, ts.done.astype(jnp.float32))
             return (states, key, ret, done_seen), ts.reward
@@ -53,6 +54,18 @@ def evaluate_dqn(cfg: ExperimentConfig, params, key: Array,
         "episodes_terminated_frac": float(jnp.mean(done_seen)),
         "reward_per_step": float(jnp.mean(rewards)),
     }
+
+
+def evaluate_dqn(cfg: ExperimentConfig, params, key: Array,
+                 num_envs: int = 32) -> Dict[str, float]:
+    """Greedy DQN policy, episodes run to cfg.env.max_steps."""
+    from multimodal_sc_tpu.rl import dqn as dqn_lib
+
+    def act_fn(params, img, pts, mask, k):
+        return dqn_lib.act(cfg, params, img, pts, mask, k,
+                           epsilon=jnp.float32(0.0))
+
+    return _rollout_returns(cfg, params, act_fn, key, num_envs)
 
 
 def evaluate_ppo(cfg: ExperimentConfig, params, key: Array,
@@ -60,35 +73,13 @@ def evaluate_ppo(cfg: ExperimentConfig, params, key: Array,
     """PPO policy (argmax or sampled), episodes to cfg.env.max_steps."""
     from multimodal_sc_tpu.rl.perception import ActorCritic
 
-    k_env, k_run = jax.random.split(key)
-    states = driving.reset_batch(cfg.env, k_env, num_envs)
     ac = ActorCritic(cfg)
 
-    @jax.jit
-    def rollout(states, key):
-        def body(carry, _):
-            states, key, ret, done_seen = carry
-            key, k_net, k_smp = jax.random.split(key, 3)
-            img, pts, mask = driving.observe_batch(cfg.env, states)
-            logits, _ = ac.apply({"params": params}, img, pts, mask, k_net)
-            if greedy:
-                a = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            else:
-                a = jax.random.categorical(k_smp, logits).astype(jnp.int32)
-            states, ts = driving.step_batch(cfg.env, states, a)
-            ret = ret + ts.reward * (1.0 - done_seen)
-            done_seen = jnp.maximum(done_seen, ts.done.astype(jnp.float32))
-            return (states, key, ret, done_seen), ts.reward
+    def act_fn(params, img, pts, mask, k):
+        k_net, k_smp = jax.random.split(k)
+        logits, _ = ac.apply({"params": params}, img, pts, mask, k_net)
+        if greedy:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(k_smp, logits).astype(jnp.int32)
 
-        init = (states, key, jnp.zeros(num_envs), jnp.zeros(num_envs))
-        (states, _, ret, done_seen), rewards = jax.lax.scan(
-            body, init, None, length=cfg.env.max_steps)
-        return ret, done_seen, rewards
-
-    ret, done_seen, rewards = rollout(states, k_run)
-    return {
-        "episode_return_mean": float(jnp.mean(ret)),
-        "episode_return_std": float(jnp.std(ret)),
-        "episodes_terminated_frac": float(jnp.mean(done_seen)),
-        "reward_per_step": float(jnp.mean(rewards)),
-    }
+    return _rollout_returns(cfg, params, act_fn, key, num_envs)

@@ -54,12 +54,13 @@ def sweep_camera(
         return psnr(rec, img), jnp.float32(0)
 
     results: Dict[str, List[dict]] = {}
-    for kind in kinds:
+    for ki, kind in enumerate(kinds):
         curve = []
-        for snr_db in snrs_db:
+        for si, snr_db in enumerate(snrs_db):
             pv, mv = [], []
             for b in range(batches_per_point):
-                k = jax.random.fold_in(key, hash((kind, snr_db, b)) % (2**31))
+                # Deterministic stream id (hash() is salted per process).
+                k = jax.random.fold_in(key, ki * 100000 + si * 100 + b)
                 p, m = eval_point(params, images, seg, float(snr_db), k, kind)
                 pv.append(float(p))
                 mv.append(float(m))
@@ -90,10 +91,10 @@ def sweep_lidar(
         return miou(pred, occ.astype(jnp.int32), 2)
 
     results: Dict[str, List[dict]] = {}
-    for kind in kinds:
+    for ki, kind in enumerate(kinds):
         curve = []
-        for snr_db in snrs_db:
-            k = jax.random.fold_in(key, hash((kind, snr_db)) % (2**31))
+        for si, snr_db in enumerate(snrs_db):
+            k = jax.random.fold_in(key, ki * 100000 + si * 100)
             v = float(eval_point(params, points, mask, occ_target,
                                  float(snr_db), k, kind))
             curve.append({"snr_db": float(snr_db), "miou": v})

@@ -73,7 +73,8 @@ def _conv_prelu_pallas_s1(
     """Stride-1 SAME conv + bias (+ PReLU), one program per image."""
     n, h, wd, cin = x.shape
     K = w.shape[0]
-    pad = K // 2
+    # XLA SAME stride-1 pads lo=(K-1)//2, hi=K-1-lo (back-heavy for even K).
+    pad = (K - 1) // 2
     xp = jnp.pad(x, ((0, 0), (pad, K - 1 - pad), (pad, K - 1 - pad), (0, 0)))
     cout = w.shape[-1]
     with_prelu = alpha is not None
@@ -144,9 +145,9 @@ def _conv_prelu_pallas(x, w, b, alpha, stride: int, interpret: bool) -> Array:
         ws = _weights_to_s2d(w)
         Ku = ws.shape[0]
         y = _conv_prelu_pallas_s1(xs, ws, b, alpha, interpret)
-        # _s1 computes SAME (front pad Ku//2); VALID output o equals SAME
-        # output at o + Ku//2 — crop accordingly.
-        off = Ku // 2
+        # _s1 computes SAME (front pad (Ku-1)//2); VALID output o equals
+        # SAME output at o + (Ku-1)//2 — crop accordingly.
+        off = (Ku - 1) // 2
         return y[:, off:off + oh, off:off + ow]
     raise NotImplementedError(f"stride {stride} unsupported")
 

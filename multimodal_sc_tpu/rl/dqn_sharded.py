@@ -17,6 +17,7 @@ Runs identically on 1 chip (trivial mesh) and N chips; validated on the
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -173,7 +174,7 @@ def make_iteration(cfg: ExperimentConfig, mesh):
             lambda x: spec_fn(jnp.ndim(x)), tree,
             is_leaf=lambda x: hasattr(x, "ndim"))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def iteration(state: ShardedDQNState):
         in_specs = (
             jax.tree_util.tree_map(lambda _: r, state.params),

@@ -158,6 +158,10 @@ def make_train_step(cfg: ExperimentConfig):
     tx = make_optimizer(cfg)
     T, B = cfg.rl.rollout_length, cfg.rl.num_envs
     n_mb = cfg.rl.num_minibatches
+    if (T * B) % n_mb != 0:
+        raise ValueError(
+            f"rollout_length*num_envs ({T}*{B}) must be divisible by "
+            f"num_minibatches ({n_mb}); the tail would be silently dropped")
     mb_size = (T * B) // n_mb
 
     import functools

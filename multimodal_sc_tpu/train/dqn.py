@@ -39,8 +39,12 @@ def run(cfg: ExperimentConfig, num_envs: int = 16,
             state = dqn_lib.DQNState(*restored)
 
     last = {}
+    # Resume from the restored checkpoint's iteration (orbax step number);
+    # re-saving an existing step would raise StepAlreadyExistsError and the
+    # loop must not redo completed iterations.
+    start_it = (ckpt_mgr.latest_step() or 0) if ckpt_mgr else 0
     with maybe_trace(cfg.train.profile_dir), Timer() as t:
-        for it in range(cfg.train.steps):
+        for it in range(start_it, cfg.train.steps):
             state, metrics = iteration(state)
             last = metrics
             if (it + 1) % cfg.train.log_every == 0:
@@ -49,7 +53,8 @@ def run(cfg: ExperimentConfig, num_envs: int = 16,
             if ckpt_mgr and (it + 1) % cfg.train.checkpoint_every == 0:
                 ckpt_mgr.save(it + 1, state)
     jax.block_until_ready(last)
-    sps = steps_per_sec_per_chip(cfg.train.steps * num_envs, t.elapsed)
+    sps = steps_per_sec_per_chip(
+        (cfg.train.steps - start_it) * num_envs, t.elapsed)
     writer.write(cfg.train.steps, {**last, "agent_steps_per_sec_per_chip": sps})
     writer.close()
     if ckpt_mgr:

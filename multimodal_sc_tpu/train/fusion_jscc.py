@@ -153,7 +153,10 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
 
     start_step = int(jax.device_get(state.step))
     data._step = start_step
-    root_key = jax.random.key(cfg.train.seed)
+    # Distinct stream from the dataset's fold_in(key(seed), step) — a raw
+    # key(seed) here would make channel/SNR draws correlate with image
+    # content (same bits every step).
+    root_key = jax.random.fold_in(jax.random.key(cfg.train.seed), 0x5EED)
     last = {}
     with maybe_trace(cfg.train.profile_dir), Timer() as t:
         for step in range(start_step, cfg.train.steps):

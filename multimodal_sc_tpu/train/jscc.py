@@ -92,11 +92,13 @@ def reconstruct(
     params, model, img: Array, snr_db: Array, key: Array,
     kind: str, normalize: bool = True,
 ) -> Tuple[Array, Array]:
-    """encode -> channel -> decode; returns (recon, symbols)."""
-    z = model.apply({"params": params}, img, snr_db, method="encode")
-    z_hat = channel_op(z, snr_db, kind, key, normalize=normalize)
-    recon = model.apply({"params": params}, z_hat, snr_db, method="decode")
-    return recon, z
+    """encode -> channel -> decode; returns (recon, symbols).
+
+    Thin delegate to api.reconstruct (single source of truth for the flow).
+    """
+    from multimodal_sc_tpu import api
+
+    return api.reconstruct(model, params, img, snr_db, key, kind, normalize)
 
 
 def make_train_step(cfg: ExperimentConfig, model):
@@ -179,7 +181,10 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
     # the global step index, so a restored run replays the exact same
     # stream as an uninterrupted one (kill-and-resume test, SURVEY §5.3).
     data._step = start_step
-    root_key = jax.random.key(cfg.train.seed)
+    # Distinct stream from the dataset's fold_in(key(seed), step) — a raw
+    # key(seed) here would make channel/SNR draws correlate with image
+    # content (same bits every step).
+    root_key = jax.random.fold_in(jax.random.key(cfg.train.seed), 0x5EED)
     with maybe_trace(cfg.train.profile_dir), Timer() as t:
         for step in range(start_step, cfg.train.steps):
             batch = next(data)

@@ -47,8 +47,12 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
             state = ppo_lib.PPOState(*restored)
 
     last = {}
+    # Resume from the restored checkpoint's iteration (orbax step number);
+    # re-saving an existing step would raise StepAlreadyExistsError and the
+    # loop must not redo completed iterations.
+    start_it = (ckpt_mgr.latest_step() or 0) if ckpt_mgr else 0
     with maybe_trace(cfg.train.profile_dir), Timer() as t:
-        for it in range(cfg.train.steps):
+        for it in range(start_it, cfg.train.steps):
             state, metrics = train_step(state)
             last = metrics
             if (it + 1) % cfg.train.log_every == 0:
@@ -57,7 +61,8 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
             if ckpt_mgr and (it + 1) % cfg.train.checkpoint_every == 0:
                 ckpt_mgr.save(it + 1, state)
     jax.block_until_ready(last)
-    env_steps = cfg.train.steps * cfg.rl.rollout_length * cfg.rl.num_envs
+    env_steps = ((cfg.train.steps - start_it)
+                 * cfg.rl.rollout_length * cfg.rl.num_envs)
     sps = steps_per_sec_per_chip(env_steps, t.elapsed)
     writer.write(cfg.train.steps, {**last, "agent_steps_per_sec_per_chip": sps})
     writer.close()

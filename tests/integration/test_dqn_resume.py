@@ -56,3 +56,23 @@ def test_dqn_state_checkpoint_roundtrip(tmp_path, key):
     s2, m2 = it(restored)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_dqn_driver_resume_no_step_collision(tmp_path, key):
+    """Driver resumes at the restored iteration (no StepAlreadyExists)."""
+    from multimodal_sc_tpu.train import dqn as dqn_train
+
+    cfg = _tiny().override_str([
+        "train.steps=4", "train.log_every=10",
+        "train.checkpoint_every=2",
+        f"train.checkpoint_dir={tmp_path}/d",
+    ])
+    dqn_train.run(cfg, num_envs=4)          # saves steps 2, 4
+    cfg2 = cfg.override_str(["train.steps=6"])
+    state, _ = dqn_train.run(cfg2, num_envs=4)   # resumes at 4, runs 2 more
+    from multimodal_sc_tpu.io.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(f"{tmp_path}/d")
+    assert mgr.latest_step() == 6
+    mgr.close()
