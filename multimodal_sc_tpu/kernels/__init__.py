@@ -13,4 +13,8 @@ from multimodal_sc_tpu.kernels.pillar_scatter import (
     scatter_max_pallas,
     scatter_max_reference,
 )
-from multimodal_sc_tpu.kernels.ring_attention import ring_attention, shard_sequence
+from multimodal_sc_tpu.kernels.ring_attention import (
+    ring_attention,
+    shard_sequence,
+    ulysses_attention,
+)

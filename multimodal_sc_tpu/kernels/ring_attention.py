@@ -105,6 +105,53 @@ def ring_attention(
     return fn(q, k, v)
 
 
+def ulysses_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    mesh: Mesh,
+    axis: str = "data",
+    scale: Optional[float] = None,
+) -> Array:
+    """Ulysses-style SP: all-to-all reshard sequence->heads, attend locally.
+
+    Alternative to ring attention (SURVEY.md §5.7): with q/k/v sequence-
+    sharded on dim 2, one ``all_to_all`` moves to head-sharded layout where
+    each shard holds H/n full-sequence heads, runs ordinary attention, and
+    a second all_to_all reshards back. Requires H divisible by the axis
+    size. Ring is preferred on TPU (ppermute matches the ICI torus); this
+    exists for completeness and for meshes where all-to-all wins.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n = mesh.shape[axis]
+    if q.shape[1] % n != 0:
+        raise ValueError(f"heads {q.shape[1]} not divisible by axis size {n}")
+
+    def shard_fn(q_loc, k_loc, v_loc):
+        # local: (B, H, L/n, D) -> (B, H/n, L, D) via all-to-all.
+        def to_heads(x):
+            return jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=2,
+                                      tiled=True)
+
+        def to_seq(x):
+            return jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=1,
+                                      tiled=True)
+
+        qh, kh, vh = to_heads(q_loc), to_heads(k_loc), to_heads(v_loc)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(vh.dtype), vh,
+                       preferred_element_type=jnp.float32).astype(q_loc.dtype)
+        return to_seq(o)
+
+    spec = P(None, None, axis, None)
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(spec, spec, spec),
+                   out_specs=spec, check_vma=False)
+    return fn(q, k, v)
+
+
 def shard_sequence(x: Array, mesh: Mesh, axis: str = "data") -> Array:
     """device_put (B,H,L,D) with the sequence dim sharded over `axis`."""
     return jax.device_put(x, NamedSharding(mesh, P(None, None, axis, None)))

@@ -52,3 +52,27 @@ def test_ring_under_jit_and_grad(mesh8, key):
     g_ref = jax.grad(loss_ref)(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_ulysses_matches_full_attention(mesh8, key):
+    from multimodal_sc_tpu.kernels.ring_attention import ulysses_attention
+
+    shape = (2, 8, 64, 16)   # 8 heads over 8 shards
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, shape)
+    k = jax.random.normal(kk, shape)
+    v = jax.random.normal(kv, shape)
+    ref = attention_reference(q, k, v)
+    out = ulysses_attention(shard_sequence(q, mesh8),
+                            shard_sequence(k, mesh8),
+                            shard_sequence(v, mesh8), mesh8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_ulysses_rejects_indivisible_heads(mesh8, key):
+    from multimodal_sc_tpu.kernels.ring_attention import ulysses_attention
+
+    q = jax.random.normal(key, (1, 3, 64, 16))
+    with pytest.raises(ValueError, match="divisible"):
+        ulysses_attention(q, q, q, mesh8)
