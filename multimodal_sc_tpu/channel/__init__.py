@@ -1,3 +1,8 @@
+from multimodal_sc_tpu.channel.modulation import (
+    qam_levels,
+    qam_modulate,
+    symbol_error_rate,
+)
 from multimodal_sc_tpu.channel.layer import (
     CHANNEL_KINDS,
     awgn,
@@ -14,4 +19,7 @@ __all__ = [
     "power_normalize",
     "rayleigh",
     "rician",
+    "qam_levels",
+    "qam_modulate",
+    "symbol_error_rate",
 ]

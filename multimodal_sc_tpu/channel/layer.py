@@ -159,22 +159,27 @@ def rician(
     return _cplx_mul(h_conj, y) / (h_pow + eps)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "normalize"))
+@functools.partial(jax.jit,
+                   static_argnames=("kind", "normalize", "modulation"))
 def channel(
     z: Array,
     snr_db: Union[float, Array],
     kind: str,
     key: Array,
     normalize: bool = True,
+    modulation: int = 0,
 ) -> Array:
     """Public channel op: power-normalize then apply the selected channel.
 
     Args:
       z: (B, ..., 2) channel symbols as real/imag pairs.
       snr_db: scalar or per-example (B,) SNR in dB.
-      kind: one of {"ideal", "awgn", "rayleigh"} (static).
+      kind: one of {"ideal", "awgn", "rayleigh", "rician"} (static).
       key: PRNG key (unused for "ideal" but required for API stability).
       normalize: apply per-example unit-power normalization first (static).
+      modulation: 0 = analog deep-JSCC (continuous amplitudes); M >= 4 =
+        square M-QAM constellation with straight-through gradients
+        (digital transmission mode; static).
 
     Fully differentiable w.r.t. z; traced into the caller's jitted graph.
     """
@@ -182,6 +187,10 @@ def channel(
         raise ValueError(f"kind must be one of {CHANNEL_KINDS}, got {kind!r}")
     if normalize:
         z = power_normalize(z)
+    if modulation:
+        from multimodal_sc_tpu.channel.modulation import qam_modulate
+
+        z = qam_modulate(z, modulation)
     if kind == "ideal":
         return z
     if kind == "awgn":

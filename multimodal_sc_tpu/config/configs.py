@@ -43,6 +43,7 @@ class ChannelConfig:
     snr_max_db: float = 25.0
     random_snr: bool = False
     normalize: bool = True
+    modulation: int = 0           # 0 = analog JSCC; 4/16/64 = square M-QAM
 
 
 @dataclass(frozen=True)

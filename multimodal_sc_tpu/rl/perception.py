@@ -90,7 +90,8 @@ class SemanticPerception(nn.Module):
         # Camera branch: encode -> channel -> token decode.
         z_cam = self.cam_enc(image, None)
         z_cam_hat = channel_op(z_cam, snr_db, ch.kind, k_cam,
-                               normalize=ch.normalize)
+                               normalize=ch.normalize,
+                               modulation=ch.modulation)
         cam_tokens = self.cam_tok(z_cam_hat, None)
 
         # LiDAR branch: pillars -> BEV -> symbols -> channel -> tokens.
@@ -100,7 +101,8 @@ class SemanticPerception(nn.Module):
         b, h, w, _ = sym.shape
         z_lid = sym.reshape(b, h * w * lid.c_sym, 2).astype(jnp.float32)
         z_lid_hat = channel_op(z_lid, snr_db, ch.kind, k_lid,
-                               normalize=ch.normalize)
+                               normalize=ch.normalize,
+                               modulation=ch.modulation)
         x = z_lid_hat.reshape(b, h, w, 2 * lid.c_sym)
         lid_tokens = self.lid_dec(self.lid_sym_embed(x)).reshape(
             b, h * w, lid.pillar_dim).astype(jnp.float32)

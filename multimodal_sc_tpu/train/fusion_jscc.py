@@ -66,9 +66,11 @@ class LateFusionJSCC(nn.Module):
         z_cam = self.camera.encode(img, snr_db)
         z_lid = self.lidar.encode((points, mask))
         z_cam_hat = channel_op(z_cam, snr_db, ch.kind, k_cam,
-                               normalize=ch.normalize)
+                               normalize=ch.normalize,
+                               modulation=ch.modulation)
         z_lid_hat = channel_op(z_lid, snr_db, ch.kind, k_lid,
-                               normalize=ch.normalize)
+                               normalize=ch.normalize,
+                               modulation=ch.modulation)
         recon = self.camera.decode(z_cam_hat, snr_db)
         occ_logits = self.lidar.decode(z_lid_hat)
         return recon, occ_logits

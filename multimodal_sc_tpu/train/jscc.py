@@ -104,11 +104,13 @@ def reconstruct(
 def make_train_step(cfg: ExperimentConfig, model):
     kind = cfg.channel.kind
     normalize = cfg.channel.normalize
+    modulation = cfg.channel.modulation
     with_seg = cfg.camera.seg_classes > 0 and cfg.camera.arch == "cnn"
 
     def loss_fn(params, img, seg, snr_db, key):
         z = model.apply({"params": params}, img, snr_db, method="encode")
-        z_hat = channel_op(z, snr_db, kind, key, normalize=normalize)
+        z_hat = channel_op(z, snr_db, kind, key, normalize=normalize,
+                           modulation=modulation)
         if with_seg:
             recon, seg_logits = model.apply(
                 {"params": params}, z_hat, snr_db, method="decode_seg")
