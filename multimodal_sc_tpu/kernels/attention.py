@@ -49,7 +49,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, lk_valid, block_k):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, lk_valid,
+                  block_k):
     """One (batch*head, q-block) program: loop KV blocks with running
     max/denominator in fp32."""
     q = q_ref[0].astype(jnp.float32) * scale            # (Bq, D)
@@ -79,32 +80,42 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, lk_valid, block_k):
 
     m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m, l, acc))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    # Logsumexp per row for the backward pass (flash recipe).
+    lse_ref[0] = (m + jnp.log(jnp.maximum(l, 1e-30))).reshape(-1)
 
 
-def _flash_attention_fwd_impl(
-    q: Array, k: Array, v: Array, scale: float,
-    block_q: int, block_k: int, interpret: bool,
-) -> Array:
+def _pad_qkv(q, k, v, block_q, block_k):
     b, h, lq, d = q.shape
     lk = k.shape[2]
     d_pad = _round_up(d, 128)
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
-
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - lq), (0, d_pad - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad - lk), (0, d_pad - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - lk), (0, d_pad - d)))
-
     bh = b * h
-    qp = qp.reshape(bh, lq_pad, d_pad)
-    kp = kp.reshape(bh, lk_pad, d_pad)
-    vp = vp.reshape(bh, lk_pad, d_pad)
+    return (qp.reshape(bh, lq_pad, d_pad), kp.reshape(bh, lk_pad, d_pad),
+            vp.reshape(bh, lk_pad, d_pad), lq_pad, lk_pad, d_pad)
+
+
+def _flash_attention_fwd_impl(
+    q: Array, k: Array, v: Array, scale: float,
+    block_q: int, block_k: int, interpret: bool,
+):
+    """Returns (out (B,H,Lq,D), lse (bh, lq_pad) fp32 residual)."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    qp, kp, vp, lq_pad, lk_pad, d_pad = _pad_qkv(q, k, v, block_q, block_k)
+    bh = b * h
 
     grid = (bh, lq_pad // block_q)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, lk_valid=lk,
                           block_k=block_k),
-        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d_pad), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((bh, lq_pad), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
@@ -114,35 +125,179 @@ def _flash_attention_fwd_impl(
             pl.BlockSpec((1, lk_pad, d_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(b, h, lq_pad, d_pad)[:, :, :lq, :d], lse
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   *, scale, lk_valid, block_k):
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0].reshape(-1, 1)
+    delta = delta_ref[0].reshape(-1, 1)
+    lk_pad = k_ref.shape[1]
+    bq, d = q.shape
+    dq = jnp.zeros((bq, d), jnp.float32)
+
+    def body(i, dq):
+        kb = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        vb = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, kb.T, preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+        s = jnp.where(col < lk_valid, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(do, vb.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jnp.dot(ds, kb, preferred_element_type=jnp.float32) * scale
+
+    dq = jax.lax.fori_loop(0, lk_pad // block_k, body, dq)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, scale, lk_valid, block_q, kv_block):
+    kb = k_ref[0].astype(jnp.float32)           # (Bk, D) current kv block
+    vb = v_ref[0].astype(jnp.float32)
+    j = pl.program_id(1)
+    lq_pad = q_ref.shape[1]
+    bk, d = kb.shape
+    dk = jnp.zeros((bk, d), jnp.float32)
+    dv = jnp.zeros((bk, d), jnp.float32)
+    # Mask for padded keys inside this block (their grads are sliced off,
+    # but keep p finite).
+    col = (jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+           + j * kv_block)
+    key_valid = col < lk_valid
+
+    def body(i, carry):
+        dk, dv = carry
+        qb = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        dob = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lseb = lse_ref[0, pl.ds(i * block_q, block_q)].reshape(-1, 1)
+        deltab = delta_ref[0, pl.ds(i * block_q, block_q)].reshape(-1, 1)
+        s = jnp.dot(qb, kb.T, preferred_element_type=jnp.float32) * scale
+        s = jnp.where(key_valid, s, _NEG_INF)
+        p = jnp.exp(s - lseb)                    # (Bq, Bk)
+        dv = dv + jnp.dot(p.T, dob, preferred_element_type=jnp.float32)
+        dp = jnp.dot(dob, vb.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - deltab)
+        dk = dk + jnp.dot(ds.T, qb, preferred_element_type=jnp.float32) * scale
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(0, lq_pad // block_q, body, (dk, dv))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_attention_bwd_impl(
+    q, k, v, out, lse, g, scale, block_q, block_k, interpret,
+):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    qp, kp, vp, lq_pad, lk_pad, d_pad = _pad_qkv(q, k, v, block_q, block_k)
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, lq_pad - lq), (0, d_pad - d)))
+    bh = b * h
+    gp = gp.reshape(bh, lq_pad, d_pad)
+    # delta = rowsum(dO * O); padded rows give 0 (dO padding is zero).
+    op = jnp.pad(out, ((0, 0), (0, 0), (0, lq_pad - lq), (0, d_pad - d)))
+    delta = jnp.sum(gp * op.reshape(bh, lq_pad, d_pad).astype(jnp.float32),
+                    axis=-1)
+
+    common = [
+        pl.BlockSpec((1, lk_pad, d_pad), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lk_pad, d_pad), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, lk_valid=lk,
+                          block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((bh, lq_pad, d_pad), q.dtype),
+        grid=(bh, lq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            *common,
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(qp, kp, vp)
-    return out.reshape(b, h, lq_pad, d_pad)[:, :, :lq, :d]
+    )(qp, kp, vp, gp, lse, delta)
+
+    q_full = [
+        pl.BlockSpec((1, lq_pad, d_pad), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lq_pad, d_pad), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lq_pad), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lq_pad), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, lk_valid=lk,
+                          block_q=block_q, kv_block=block_k),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lk_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((bh, lk_pad, d_pad), v.dtype),
+        ),
+        grid=(bh, lk_pad // block_k),
+        in_specs=[
+            q_full[0],
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            q_full[1], q_full[2], q_full[3],
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse, delta)
+
+    dq = dq.reshape(b, h, lq_pad, d_pad)[:, :, :lq, :d]
+    dk = dk.reshape(b, h, lk_pad, d_pad)[:, :, :lk, :d]
+    dv = dv.reshape(b, h, lk_pad, d_pad)[:, :, :lk, :d]
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash_attention(q, k, v, scale, block_q, block_k, interpret):
-    return _flash_attention_fwd_impl(q, k, v, scale, block_q, block_k,
-                                     interpret)
+    out, _ = _flash_attention_fwd_impl(q, k, v, scale, block_q, block_k,
+                                       interpret)
+    return out
 
 
 def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
-    o = _flash_attention_fwd_impl(q, k, v, scale, block_q, block_k, interpret)
-    return o, (q, k, v)
+    out, lse = _flash_attention_fwd_impl(q, k, v, scale, block_q, block_k,
+                                         interpret)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
-    # Backward via XLA recompute: attention activations are cheap to
-    # rematerialize at these sequence lengths (<=1k tokens — SURVEY §5.7);
-    # a dedicated Pallas backward kernel is a later optimization.
-    q, k, v = res
-
-    def ref(q, k, v):
-        return attention_reference(q, k, v, scale)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+    # Dedicated Pallas backward kernels (flash recipe): dV = P^T dO,
+    # dS = P (dO V^T - rowsum(dO*O)), dQ = dS K, dK = dS^T Q, with P
+    # recomputed from the saved logsumexp — O(L) memory, all MXU matmuls.
+    q, k, v, out, lse = res
+    return _flash_attention_bwd_impl(q, k, v, out, lse, g, scale, block_q,
+                                     block_k, interpret)
 
 
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)

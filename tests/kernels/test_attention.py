@@ -69,3 +69,27 @@ def test_flash_under_jit_and_vmap(key):
     out = f(q)
     assert out.shape == q.shape
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("shape_q,shape_k", [
+    ((1, 2, 100, 32), (1, 2, 70, 32)),   # ragged both sides (padding paths)
+    ((2, 4, 64, 48), (2, 4, 64, 48)),    # non-128 head dim
+])
+def test_flash_backward_ragged_matches_reference(key, shape_q, shape_k):
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    q = jax.random.normal(kq, shape_q)
+    k = jax.random.normal(kk, shape_k)
+    v = jax.random.normal(kv, shape_k)
+    g = jax.random.normal(kg, shape_q)
+
+    def f_pal(q, k, v):
+        return jnp.vdot(flash_attention(q, k, v, interpret=True), g)
+
+    def f_ref(q, k, v):
+        return jnp.vdot(attention_reference(q, k, v), g)
+
+    g_pal = jax.grad(f_pal, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
