@@ -78,7 +78,6 @@ def ring_attention(
 
     def shard_fn(q_loc, k_loc, v_loc):
         # q_loc/k_loc/v_loc: (B, H, L/n, D) local blocks.
-        idx = jax.lax.axis_index(axis)
         perm = [(i, (i + 1) % n) for i in range(n)]
 
         acc = jnp.zeros(q_loc.shape, jnp.float32)
@@ -96,7 +95,6 @@ def ring_attention(
 
         acc, m, l, _, _ = jax.lax.fori_loop(
             0, n, body, (acc, m, l, k_loc, v_loc))
-        del idx
         return (acc / jnp.maximum(l, 1e-30)).astype(q_loc.dtype)
 
     spec = P(None, None, axis, None)
