@@ -80,8 +80,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, lk_valid,
 
     m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m, l, acc))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-    # Logsumexp per row for the backward pass (flash recipe).
-    lse_ref[0] = (m + jnp.log(jnp.maximum(l, 1e-30))).reshape(-1)
+    # Logsumexp per row for the backward pass (flash recipe). Layout
+    # (bh, 1, lq): Mosaic requires the last two block dims to divide
+    # (8, 128) or equal the array dims — a (1, block_q) 2D block does not.
+    lse_ref[0, 0, :] = (m + jnp.log(jnp.maximum(l, 1e-30))).reshape(-1)
 
 
 def _pad_qkv(q, k, v, block_q, block_k):
@@ -114,7 +116,7 @@ def _flash_attention_fwd_impl(
                           block_k=block_k),
         out_shape=(
             jax.ShapeDtypeStruct((bh, lq_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((bh, lq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, lq_pad), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -128,7 +130,7 @@ def _flash_attention_fwd_impl(
         out_specs=(
             pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
@@ -140,8 +142,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    *, scale, lk_valid, block_k):
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0].reshape(-1, 1)
-    delta = delta_ref[0].reshape(-1, 1)
+    lse = lse_ref[0, 0, :].reshape(-1, 1)
+    delta = delta_ref[0, 0, :].reshape(-1, 1)
     lk_pad = k_ref.shape[1]
     bq, d = q.shape
     dq = jnp.zeros((bq, d), jnp.float32)
@@ -180,8 +182,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk, dv = carry
         qb = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         dob = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lseb = lse_ref[0, pl.ds(i * block_q, block_q)].reshape(-1, 1)
-        deltab = delta_ref[0, pl.ds(i * block_q, block_q)].reshape(-1, 1)
+        lseb = lse_ref[0, 0, pl.ds(i * block_q, block_q)].reshape(-1, 1)
+        deltab = delta_ref[0, 0, pl.ds(i * block_q, block_q)].reshape(-1, 1)
         s = jnp.dot(qb, kb.T, preferred_element_type=jnp.float32) * scale
         s = jnp.where(key_valid, s, _NEG_INF)
         p = jnp.exp(s - lseb)                    # (Bq, Bk)
@@ -208,7 +210,7 @@ def _flash_attention_bwd_impl(
     # delta = rowsum(dO * O); padded rows give 0 (dO padding is zero).
     op = jnp.pad(out, ((0, 0), (0, 0), (0, lq_pad - lq), (0, d_pad - d)))
     delta = jnp.sum(gp * op.reshape(bh, lq_pad, d_pad).astype(jnp.float32),
-                    axis=-1)
+                    axis=-1).reshape(bh, 1, lq_pad)
 
     common = [
         pl.BlockSpec((1, lk_pad, d_pad), lambda i, j: (i, 0, 0),
@@ -227,9 +229,9 @@ def _flash_attention_bwd_impl(
             *common,
             pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0),
@@ -242,9 +244,9 @@ def _flash_attention_bwd_impl(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, lq_pad, d_pad), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, lq_pad), lambda i, j: (i, 0),
+        pl.BlockSpec((1, 1, lq_pad), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, lq_pad), lambda i, j: (i, 0),
+        pl.BlockSpec((1, 1, lq_pad), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     dk, dv = pl.pallas_call(
