@@ -26,6 +26,11 @@ class CheckpointManager:
             ),
         )
 
+    def save_config(self, config_json: str) -> None:
+        """Pin the experiment config beside the checkpoints (SURVEY §5.6)."""
+        with open(os.path.join(self.directory, "config.json"), "w") as f:
+            f.write(config_json)
+
     def save(self, step: int, state: Any, wait: bool = False) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         if wait:

@@ -19,13 +19,20 @@ import numpy as np
 
 
 class MetricsWriter:
-    def __init__(self, path: Optional[str] = None, stdout: bool = True):
+    def __init__(self, path: Optional[str] = None, stdout: bool = True,
+                 config_json: Optional[str] = None):
         self.path = path
         self.stdout = stdout
         self._fh = None
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self._fh = open(path, "a")
+            if config_json:
+                # First record pins the exact experiment config (SURVEY
+                # §5.6 reproducibility rule).
+                self._fh.write(json.dumps(
+                    {"config": json.loads(config_json)}) + "\n")
+                self._fh.flush()
         self._t0 = time.time()
 
     def write(self, step: int, scalars: Dict[str, float]) -> None:

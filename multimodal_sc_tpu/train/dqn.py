@@ -27,13 +27,14 @@ def run(cfg: ExperimentConfig, num_envs: int = 16,
     state = dqn_lib.init(cfg, k_init, num_envs)
     iteration = dqn_lib.make_iteration(cfg)
 
-    writer = MetricsWriter(metrics_path)
+    writer = MetricsWriter(metrics_path, config_json=cfg.to_json())
     watchdog = NaNWatchdog()
     ckpt_mgr = None
     if cfg.train.checkpoint_dir:
         from multimodal_sc_tpu.io.checkpoint import CheckpointManager
 
         ckpt_mgr = CheckpointManager(cfg.train.checkpoint_dir)
+        ckpt_mgr.save_config(cfg.to_json())
         restored = ckpt_mgr.restore_latest(state)
         if restored is not None:
             state = dqn_lib.DQNState(*restored)

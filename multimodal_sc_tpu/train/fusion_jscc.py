@@ -142,13 +142,14 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
 
     data = ImageDataset(cfg.train.dataset, cfg.train.batch_size,
                         seed=cfg.train.seed)
-    writer = MetricsWriter(metrics_path)
+    writer = MetricsWriter(metrics_path, config_json=cfg.to_json())
     watchdog = NaNWatchdog()
     ckpt_mgr = None
     if cfg.train.checkpoint_dir:
         from multimodal_sc_tpu.io.checkpoint import CheckpointManager
 
         ckpt_mgr = CheckpointManager(cfg.train.checkpoint_dir)
+        ckpt_mgr.save_config(cfg.to_json())
         restored = ckpt_mgr.restore_latest(state)
         if restored is not None:
             state = restored

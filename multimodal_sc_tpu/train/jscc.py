@@ -166,7 +166,7 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
     with_seg = cfg.camera.seg_classes > 0 and cfg.camera.arch == "cnn"
     data = ImageDataset(cfg.train.dataset, cfg.train.batch_size,
                         seed=cfg.train.seed, with_seg=with_seg)
-    writer = MetricsWriter(metrics_path)
+    writer = MetricsWriter(metrics_path, config_json=cfg.to_json())
     watchdog = NaNWatchdog()
     last = {}
     ckpt_mgr = None
@@ -174,6 +174,7 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
         from multimodal_sc_tpu.io.checkpoint import CheckpointManager
 
         ckpt_mgr = CheckpointManager(cfg.train.checkpoint_dir)
+        ckpt_mgr.save_config(cfg.to_json())
         restored = ckpt_mgr.restore_latest(state)
         if restored is not None:
             state = restored
