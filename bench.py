@@ -16,6 +16,8 @@ import jax.numpy as jnp
 
 
 def main() -> None:
+    import sys
+
     from multimodal_sc_tpu.runtime.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -25,6 +27,12 @@ def main() -> None:
 
     # Flagship act path: config-4 fused perception + policy, vmapped envs.
     cfg = get_preset("c4")
+    # A/B hooks for kernel experiments (the driver runs plain `python
+    # bench.py`, which measures the production default).
+    if "--pallas-attention" in sys.argv:
+        cfg = cfg.override_str(["pallas_attention=true"])
+    if "--no-pallas-attention" in sys.argv:
+        cfg = cfg.override_str(["pallas_attention=false"])
     # 1024 parallel envs saturate the chip (measured: 23.5k steps/s/chip at
     # 256 envs -> 37.7k at 1024; 2048+ hits compile/HBM limits).
     num_envs = 1024

@@ -20,16 +20,19 @@ Array = jax.Array
 
 def reconstruct(
     model, params, img: Array, snr_db, key: Array,
-    kind: str = "awgn", normalize: bool = True,
+    kind: str = "awgn", normalize: bool = True, modulation: int = 0,
 ) -> Tuple[Array, Array]:
     """Full encode -> channel -> decode pass; returns (recon, symbols).
 
-    One jitted graph when called under jit (SURVEY.md §3.2a).
+    One jitted graph when called under jit (SURVEY.md §3.2a). `normalize`
+    and `modulation` must match the training ChannelConfig so evaluation
+    runs over the deployed (analog or M-QAM) transmission mode.
     """
     if jnp.ndim(snr_db) == 0:
         snr_db = jnp.full((img.shape[0],), snr_db, jnp.float32)
     z = model.apply({"params": params}, img, snr_db, method="encode")
-    z_hat = channel_op(z, snr_db, kind, key, normalize=normalize)
+    z_hat = channel_op(z, snr_db, kind, key, normalize=normalize,
+                       modulation=modulation)
     recon = model.apply({"params": params}, z_hat, snr_db, method="decode")
     return recon, z
 

@@ -22,6 +22,9 @@ def main(argv=None) -> int:
     t.add_argument("--set", action="append", default=[], dest="overrides",
                    help="dotted override, e.g. train.steps=100")
     t.add_argument("--metrics", default=None, help="JSONL metrics path")
+    t.add_argument("--init-from", default=None, dest="init_from",
+                   help="JSCC checkpoint dir to warm-start the RL "
+                        "perception trunk from (dqn/ppo tasks)")
 
     e = sub.add_parser("eval", help="SNR-sweep evaluation of a jscc config")
     e.add_argument("--config", required=True)
@@ -66,11 +69,13 @@ def main(argv=None) -> int:
         elif task == "dqn":
             from multimodal_sc_tpu.train import dqn
 
-            _, last = dqn.run(cfg, metrics_path=args.metrics)
+            _, last = dqn.run(cfg, metrics_path=args.metrics,
+                              init_from=args.init_from)
         elif task == "ppo":
             from multimodal_sc_tpu.train import ppo
 
-            _, last = ppo.run(cfg, metrics_path=args.metrics)
+            _, last = ppo.run(cfg, metrics_path=args.metrics,
+                              init_from=args.init_from)
         else:
             print(f"unknown task {task!r}", file=sys.stderr)
             return 2
@@ -84,7 +89,11 @@ def main(argv=None) -> int:
         if cfg.train.task == "dqn" or cfg.rl.algo == "dqn":
             from multimodal_sc_tpu.rl import dqn as dqn_lib
 
-            state = dqn_lib.init(cfg, key, num_envs=args.episodes)
+            # Init with the TRAINING env count (cfg.rl.num_envs) so orbax
+            # shape-checking restore matches the saved env/replay arrays;
+            # only the params are needed for evaluation (ADVICE r1). The
+            # eval episode count is independent (--episodes).
+            state = dqn_lib.init(cfg, key, num_envs=cfg.rl.num_envs)
             if cfg.train.checkpoint_dir:
                 from multimodal_sc_tpu.io.checkpoint import CheckpointManager
 
@@ -129,7 +138,8 @@ def main(argv=None) -> int:
         model = jscc.build_model(cfg)
         with_seg = cfg.camera.seg_classes > 0 and cfg.camera.arch == "cnn"
         data = ImageDataset(cfg.train.dataset, cfg.train.batch_size,
-                            seed=cfg.train.seed + 999, with_seg=with_seg)
+                            seed=cfg.train.seed + 999, with_seg=with_seg,
+                            data_root=cfg.train.data_root)
         if with_seg:
             images, seg = next(data)
             seg = jax.numpy.asarray(seg)
@@ -137,7 +147,9 @@ def main(argv=None) -> int:
             images, seg = next(data), None
         curves = snr_sweep.sweep_camera(model, state.params,
                                         jax.numpy.asarray(images), key,
-                                        seg=seg)
+                                        seg=seg,
+                                        normalize=cfg.channel.normalize,
+                                        modulation=cfg.channel.modulation)
         print(snr_sweep.format_table(curves))
         if with_seg:
             print(snr_sweep.format_table(curves, metric="miou"))

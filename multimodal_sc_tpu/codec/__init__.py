@@ -14,5 +14,6 @@ from multimodal_sc_tpu.codec.lidar_bev import (
     LidarBEVCodec,
     PillarFeatureNet,
     occupancy_target,
+    semantic_bev_target,
     voxelize,
 )

@@ -72,6 +72,37 @@ def occupancy_target(
     return jax.vmap(one)(cell)
 
 
+def semantic_bev_target(
+    points: Array, mask: Array, classes: Array, bev_hw: Tuple[int, int],
+    x_range: Tuple[float, float], y_range: Tuple[float, float],
+    num_classes: int = 4,
+) -> Array:
+    """Ground-truth semantic BEV grid (B, H, W) int32 from labeled points.
+
+    Cell class = majority point class (ties -> higher class id, so sparse
+    car returns beat dense ground on equal counts); 0 = empty cell. This is
+    the harder multi-class gate of VERDICT r1 item 3 (vs the saturated
+    binary occupancy).
+    """
+    _, cell = voxelize(points, mask, bev_hw, x_range, y_range)
+    h, w = bev_hw
+
+    def one(cell_b, cls_b):
+        counts = []
+        for c in range(1, num_classes):
+            inc = (cls_b == c).astype(jnp.int32)
+            counts.append(
+                jnp.zeros((h * w + 1,), jnp.int32).at[cell_b].add(inc))
+        cnt = jnp.stack(counts, axis=-1)[: h * w]      # (H*W, C-1)
+        # Tie-break toward the higher class id: argmax on the reversed axis.
+        best_rev = jnp.argmax(cnt[:, ::-1], axis=-1)
+        best = (num_classes - 2) - best_rev + 1        # class id in [1, C)
+        total = jnp.sum(cnt, axis=-1)
+        return jnp.where(total > 0, best, 0).astype(jnp.int32).reshape(h, w)
+
+    return jax.vmap(one)(cell, classes)
+
+
 class PillarFeatureNet(nn.Module):
     """Shared per-point MLP then max-scatter to the BEV grid."""
 
@@ -121,16 +152,19 @@ class BEVBackbone(nn.Module):
 
 
 class LidarBEVCodec(nn.Module):
-    """Point cloud -> channel symbols; symbols -> BEV occupancy logits.
+    """Point cloud -> channel symbols; symbols -> semantic BEV logits.
 
     encode: (points (B,N,F), mask (B,N)) -> z (B, H*W*c_sym, 2)
-    decode: z_hat -> occupancy logits (B, H, W, 1)
+    decode: z_hat -> BEV logits (B, H, W, C) where C = max(seg_classes, 1);
+      seg_classes == 1 is the binary-occupancy mode (single logit + BCE),
+      seg_classes > 1 the semantic mode (softmax classes incl. 0 = empty).
     tokens: intermediate BEV tokens (B, H*W, D) for the fusion transformer.
     """
 
     pillar_dim: int = 64
     bev_hw: Tuple[int, int] = (16, 16)
     c_sym: int = 4
+    seg_classes: int = 1
     x_range: Tuple[float, float] = (0.0, 48.0)
     y_range: Tuple[float, float] = (-12.0, 12.0)
     use_pallas: bool = False
@@ -147,7 +181,7 @@ class LidarBEVCodec(nn.Module):
         self.sym_embed = nn.Dense(self.pillar_dim, dtype=self.dtype)
         self.dec_backbone = BEVBackbone(
             features=(self.pillar_dim, self.pillar_dim), dtype=self.dtype)
-        self.occ_head = nn.Dense(1, dtype=self.dtype)
+        self.occ_head = nn.Dense(max(self.seg_classes, 1), dtype=self.dtype)
 
     def bev_features(self, points: Array, mask: Array) -> Array:
         return self.backbone(self.pfn(points, mask))

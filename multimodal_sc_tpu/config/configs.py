@@ -37,13 +37,20 @@ def _replace_path(obj, path: str, value):
 
 @dataclass(frozen=True)
 class ChannelConfig:
-    kind: str = "awgn"            # ideal | awgn | rayleigh
+    kind: str = "awgn"            # ideal | awgn | rayleigh | rician
     snr_db: float = 10.0
     snr_min_db: float = -5.0      # for per-example SNR sweep training
     snr_max_db: float = 25.0
     random_snr: bool = False
     normalize: bool = True
     modulation: int = 0           # 0 = analog JSCC; 4/16/64 = square M-QAM
+
+    def __post_init__(self):
+        # Fail at config construction, not at channel() trace time.
+        kinds = ("ideal", "awgn", "rayleigh", "rician")
+        if self.kind not in kinds:
+            raise ValueError(
+                f"channel.kind must be one of {kinds}, got {self.kind!r}")
 
 
 @dataclass(frozen=True)
@@ -68,6 +75,8 @@ class LidarCodecConfig:
     max_pillars: int = 256
     points_per_pillar: int = 16
     bev_hw: Tuple[int, int] = (16, 16)
+    seg_classes: int = 1          # 1 = binary occupancy; >1 = semantic BEV
+                                  # (classes incl. 0 = empty, datasets.BEV_CLASSES)
     point_features: int = 4       # x, y, z, intensity
     pillar_dim: int = 64
     c_sym: int = 4
@@ -110,6 +119,7 @@ class RLConfig:
     eps_end: float = 0.05
     eps_decay_steps: int = 20000
     double_dqn: bool = True
+    n_step: int = 1               # n-step returns (rl/nstep.py); 1 = vanilla
     # PPO
     rollout_length: int = 64
     num_envs: int = 32
@@ -135,6 +145,7 @@ class TrainConfig:
     profile_dir: Optional[str] = None   # jax.profiler trace output
     seed: int = 0
     dataset: str = "synthetic_cifar"  # synthetic_cifar | synthetic_kitti | cifar | kitti
+    data_root: str = "data"       # real-dataset root (cifar-10-batches-py/, kitti/)
     grad_clip: float = 1.0
     bf16: bool = False
 

@@ -32,8 +32,10 @@ def c2_snr_sweep() -> ExperimentConfig:
     return ExperimentConfig(
         name="c2_snr_sweep",
         channel=ChannelConfig(kind="awgn", random_snr=True),
+        # 4-class receiver segmentation (datasets.SEG_CLASSES: bg/box/disk/
+        # stripe) — the non-saturating gate of VERDICT r1 item 3.
         camera=CameraCodecConfig(arch="cnn", snr_conditioning=True,
-                                 seg_classes=2),
+                                 seg_classes=4),
         train=TrainConfig(task="jscc", steps=3000, dataset="synthetic_cifar"),
     )
 
@@ -45,7 +47,9 @@ def c3_lidar_fusion() -> ExperimentConfig:
         name="c3_lidar_fusion",
         channel=ChannelConfig(kind="awgn", snr_db=10.0),
         camera=CameraCodecConfig(arch="vit", image_hw=(64, 64)),
-        lidar=LidarCodecConfig(enabled=True),
+        # Semantic 4-class BEV on a 32x32 grid with sensor noise (VERDICT
+        # r1 item 3) instead of the saturated 16x16 binary occupancy.
+        lidar=LidarCodecConfig(enabled=True, bev_hw=(32, 32), seg_classes=4),
         fusion=FusionConfig(mode="late_concat"),
         train=TrainConfig(task="jscc_fusion", steps=2000,
                           dataset="synthetic_kitti"),
@@ -61,7 +65,10 @@ def c4_dqn_fusion() -> ExperimentConfig:
         camera=CameraCodecConfig(arch="cnn"),
         lidar=LidarCodecConfig(enabled=True),
         fusion=FusionConfig(mode="cross_attention"),
-        rl=RLConfig(algo="dqn"),
+        # VERDICT r1 item 8 tuning: 64 envs (was 16), 3-step returns,
+        # deeper replay, eps annealed over the first 3k of 5k iterations.
+        rl=RLConfig(algo="dqn", num_envs=64, n_step=3,
+                    replay_capacity=32768, eps_decay_steps=3000),
         train=TrainConfig(task="dqn", steps=5000, batch_size=128),
     )
 

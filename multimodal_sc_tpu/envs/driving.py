@@ -10,13 +10,23 @@ Design rules (TPU-first):
   * Pure functions, explicit PRNG keys, static shapes everywhere: reset /
     step / observe are jit- and vmap-compatible, so a whole rollout is one
     ``lax.scan`` of ``env.step ∘ agent.act`` on device.
-  * Scene: straight multi-lane road along +x; ego follows kinematic-bicycle
-    dynamics; NPC vehicles hold lane/speed and respawn ahead when passed.
-  * Camera obs: ego-centric top-down RGB rasterization of road, lane
-    markings, NPC boxes (smooth box masks — no gather/scatter, pure VPU).
-  * LiDAR obs: fixed ray fan, ray-circle intersection against NPCs ->
-    (num_rays, 4) points + hit mask, matching the BEV pillar codec input.
-  * Reward: forward progress - collision - off-road - lane-wobble.
+  * Scene (v2, VERDICT r1 item 4): a CURVED multi-lane road defined by an
+    analytic curvature profile kappa(s) (two random sinusoids per episode).
+    The ego runs kinematic-bicycle dynamics in road (Frenet) coordinates
+    (s along the road, d lateral, mu heading relative to the tangent) —
+    closed-form, no path integrals, fully static. Driving straight leaves
+    the road within a curve wavelength, so progress reward cannot be maxed
+    without steering.
+  * NPC traffic: NPCs follow the road, CHANGE LANES stochastically (smooth
+    lateral slew to a target lane) and car-follow (brake behind a slower
+    leader, including the ego), forcing overtakes/braking.
+  * Collision is a heading-aware OBB-vs-OBB separating-axis test (the r1
+    axis-aligned box ignored ego heading).
+  * Camera obs: ego-centric top-down RGB; road curvature is rendered via
+    the standard clothoid-style lane polynomial y_c(x) = -d - mu x +
+    1/2 kappa x^2 + 1/6 kappa' x^3, so upcoming curves are VISIBLE to the
+    agent (pure VPU math, no gathers).
+  * LiDAR obs: fixed ray fan in the ego frame vs NPC collision circles.
   * Auto-reset on done inside ``step`` keeps scan shapes static.
 """
 
@@ -41,16 +51,27 @@ SPAWN_AHEAD_MIN, SPAWN_AHEAD_MAX = 10.0, 45.0
 BEHIND_CUTOFF = -8.0
 LIDAR_MAX_RANGE = 50.0
 NPC_RADIUS = 1.6          # collision circle for ray casting
+LANE_CHANGE_PROB = 0.012  # per NPC per step when settled in a lane
+LAT_RATE = 1.5            # NPC lane-change lateral speed (m/s)
+FOLLOW_GAP = 9.0          # car-following headway (m)
+NPC_BRAKE = 3.0           # follower decel / cruise accel (m/s^2)
+
+# Road curvature profile bounds: kappa(s) = a1 sin(w1 s + p1) + a2 sin(...).
+CURV_A1 = (0.004, 0.014)          # primary amplitude (1/m): R ~ 70-250 m
+CURV_LAM1 = (80.0, 160.0)         # primary wavelength (m)
+CURV_A2 = (0.001, 0.005)          # secondary ripple
+CURV_LAM2 = (30.0, 70.0)
 
 STEERS = jnp.array([-0.25, 0.0, 0.25])
 ACCELS = jnp.array([-4.0, 0.0, 3.0])
 
 
 class EnvState(NamedTuple):
-    ego: Array        # (4,) x, y, heading, speed  (x is cumulative distance)
-    npcs: Array       # (N, 4) x_rel_world, y, heading(=0), speed
+    ego: Array        # (4,) s, d, mu, v  (Frenet: arc pos, lateral, rel-heading)
+    npcs: Array       # (N, 5) s, d, v, d_target, v_cruise
+    road: Array       # (6,) a1, w1, p1, a2, w2, p2  curvature profile
     t: Array          # () int32 step counter
-    key: Array        # PRNG key for respawns / auto-reset
+    key: Array        # PRNG key for respawns / lane changes / auto-reset
 
 
 class TimeStep(NamedTuple):
@@ -77,94 +98,229 @@ def action_table() -> Tuple[Array, Array]:
     return s.reshape(-1), a.reshape(-1)
 
 
+def curvature(road: Array, s: Array) -> Array:
+    """Road curvature kappa(s) from the episode's analytic profile."""
+    a1, w1, p1, a2, w2, p2 = (road[i] for i in range(6))
+    return a1 * jnp.sin(w1 * s + p1) + a2 * jnp.sin(w2 * s + p2)
+
+
+def curvature_rate(road: Array, s: Array) -> Array:
+    """d kappa / d s (for the cubic lane-polynomial rendering term)."""
+    a1, w1, p1, a2, w2, p2 = (road[i] for i in range(6))
+    return a1 * w1 * jnp.cos(w1 * s + p1) + a2 * w2 * jnp.cos(w2 * s + p2)
+
+
+def _sample_road(key: Array) -> Array:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    two_pi = 2.0 * jnp.pi
+    a1 = jax.random.uniform(k1, (), minval=CURV_A1[0], maxval=CURV_A1[1])
+    lam1 = jax.random.uniform(k2, (), minval=CURV_LAM1[0], maxval=CURV_LAM1[1])
+    a2 = jax.random.uniform(k3, (), minval=CURV_A2[0], maxval=CURV_A2[1])
+    lam2 = jax.random.uniform(jax.random.fold_in(k3, 1), (),
+                              minval=CURV_LAM2[0], maxval=CURV_LAM2[1])
+    p1 = jax.random.uniform(k4, (), minval=0.0, maxval=two_pi)
+    p2 = jax.random.uniform(jax.random.fold_in(k4, 1), (),
+                            minval=0.0, maxval=two_pi)
+    return jnp.stack([a1, two_pi / lam1, p1, a2, two_pi / lam2, p2])
+
+
 def reset(cfg: EnvConfig, key: Array) -> EnvState:
-    k_lane, k_v, k_npc, k_state = jax.random.split(key, 4)
+    k_road, k_lane, k_v, k_npc, k_state = jax.random.split(key, 5)
     lanes = _lane_centers(cfg)
     ego_lane = jax.random.randint(k_lane, (), 0, cfg.num_lanes)
     ego = jnp.array([0.0, 0.0, 0.0, 0.0], jnp.float32)
     ego = ego.at[1].set(lanes[ego_lane])
     ego = ego.at[3].set(jax.random.uniform(k_v, (), minval=3.0, maxval=8.0))
 
-    kx, kl, kv = jax.random.split(k_npc, 3)
-    npc_x = jax.random.uniform(kx, (cfg.num_npcs,), minval=SPAWN_AHEAD_MIN,
+    ks, kl, kv = jax.random.split(k_npc, 3)
+    n = cfg.num_npcs
+    npc_s = jax.random.uniform(ks, (n,), minval=SPAWN_AHEAD_MIN,
                                maxval=SPAWN_AHEAD_MAX)
-    npc_lane = jax.random.randint(kl, (cfg.num_npcs,), 0, cfg.num_lanes)
-    npc_y = lanes[npc_lane]
-    npc_v = jax.random.uniform(kv, (cfg.num_npcs,), minval=NPC_V_MIN,
-                               maxval=NPC_V_MAX)
-    npcs = jnp.stack([npc_x, npc_y, jnp.zeros_like(npc_x), npc_v], axis=-1)
-    return EnvState(ego=ego, npcs=npcs, t=jnp.int32(0), key=k_state)
+    npc_lane = jax.random.randint(kl, (n,), 0, cfg.num_lanes)
+    npc_d = lanes[npc_lane]
+    npc_v = jax.random.uniform(kv, (n,), minval=NPC_V_MIN, maxval=NPC_V_MAX)
+    npcs = jnp.stack([npc_s, npc_d, npc_v, npc_d, npc_v], axis=-1)
+    return EnvState(ego=ego, npcs=npcs, road=_sample_road(k_road),
+                    t=jnp.int32(0), key=k_state)
 
 
-def _dynamics(cfg: EnvConfig, ego: Array, steer: Array, accel: Array) -> Array:
-    x, y, psi, v = ego[0], ego[1], ego[2], ego[3]
-    x = x + v * jnp.cos(psi) * cfg.dt
-    y = y + v * jnp.sin(psi) * cfg.dt
-    psi = psi + v / WHEELBASE * jnp.tan(steer) * cfg.dt
-    psi = jnp.clip(psi, -0.6, 0.6)
+def _dynamics(cfg: EnvConfig, road: Array, ego: Array, steer: Array,
+              accel: Array) -> Tuple[Array, Array]:
+    """Frenet-frame bicycle step. Returns (new ego, s_dot) — s_dot is the
+    road-aligned progress rate the reward pays for."""
+    s, d, mu, v = ego[0], ego[1], ego[2], ego[3]
+    kap = curvature(road, s)
+    # Guard the Frenet singularity 1 - d*kappa -> 0 (never reached on-road:
+    # |d| <= 6, |kappa| <= 0.02 -> factor >= 0.88).
+    denom = jnp.maximum(1.0 - d * kap, 0.3)
+    s_dot = v * jnp.cos(mu) / denom
+    s = s + s_dot * cfg.dt
+    d = d + v * jnp.sin(mu) * cfg.dt
+    mu = mu + (v / WHEELBASE * jnp.tan(steer) - kap * s_dot) * cfg.dt
+    mu = jnp.clip(mu, -1.0, 1.0)
     v = jnp.clip(v + accel * cfg.dt, 0.0, V_MAX)
-    return jnp.stack([x, y, psi, v])
+    return jnp.stack([s, d, mu, v]), s_dot
 
 
 def _advance_npcs(cfg: EnvConfig, npcs: Array, ego: Array, key: Array) -> Array:
-    """NPCs hold lane/speed; respawn ahead once far behind the ego."""
-    x = npcs[:, 0] + npcs[:, 3] * cfg.dt
-    rel = x - ego[0]
-    behind = rel < BEHIND_CUTOFF
-    kx, kl, kv = jax.random.split(key, 3)
+    """Traffic model: car-following + stochastic lane changes + respawn.
+
+    NPCs track the road exactly (their heading relative to the tangent is
+    just the lane-change slew). Each NPC brakes behind a slower leader
+    (nearest vehicle ahead within half a lane — NPC or the ego), otherwise
+    relaxes to its cruise speed; settled NPCs start a lane change to an
+    adjacent lane with prob LANE_CHANGE_PROB per step.
+    """
+    s, d, v, d_tgt, v_cruise = (npcs[:, i] for i in range(5))
     n = npcs.shape[0]
-    new_x = ego[0] + jax.random.uniform(kx, (n,), minval=SPAWN_AHEAD_MIN,
+    k_chg, k_dir, k_sp = jax.random.split(key, 3)
+
+    # --- car following (leader = nearest ahead in the same lane corridor).
+    all_s = jnp.concatenate([s, ego[0:1]])
+    all_d = jnp.concatenate([d, ego[1:2]])
+    all_v = jnp.concatenate([v, ego[3:4]])
+    gap = all_s[None, :] - s[:, None]                    # (n, n+1)
+    same_lane = jnp.abs(all_d[None, :] - d[:, None]) < cfg.lane_width * 0.5
+    ahead = (gap > 0.1) & same_lane
+    gap_masked = jnp.where(ahead, gap, 1e6)
+    leader = jnp.argmin(gap_masked, axis=1)              # (n,)
+    leader_gap = jnp.take_along_axis(gap_masked, leader[:, None], 1)[:, 0]
+    leader_v = all_v[leader]
+    too_close = (leader_gap < FOLLOW_GAP) & (leader_v < v)
+    dv = jnp.where(too_close, -NPC_BRAKE,
+                   jnp.clip(v_cruise - v, -NPC_BRAKE, NPC_BRAKE))
+    v = jnp.clip(v + dv * cfg.dt, 0.0, NPC_V_MAX)
+
+    # --- lane changes: settled NPCs occasionally pick an adjacent lane.
+    lanes = _lane_centers(cfg)
+    settled = jnp.abs(d - d_tgt) < 0.05
+    start = settled & (jax.random.uniform(k_chg, (n,)) < LANE_CHANGE_PROB)
+    cur_lane = jnp.argmin(jnp.abs(d_tgt[:, None] - lanes[None, :]), axis=1)
+    direction = jnp.where(jax.random.uniform(k_dir, (n,)) < 0.5, -1, 1)
+    new_lane = jnp.clip(cur_lane + direction, 0, cfg.num_lanes - 1)
+    d_tgt = jnp.where(start, lanes[new_lane], d_tgt)
+    d = d + jnp.clip(d_tgt - d, -LAT_RATE * cfg.dt, LAT_RATE * cfg.dt)
+
+    # --- advance along the road, respawn once far behind the ego.
+    s = s + v * cfg.dt
+    rel = s - ego[0]
+    behind = rel < BEHIND_CUTOFF
+    ks_, kl_, kv_ = jax.random.split(k_sp, 3)
+    new_s = ego[0] + jax.random.uniform(ks_, (n,), minval=SPAWN_AHEAD_MIN,
                                         maxval=SPAWN_AHEAD_MAX)
-    new_lane = jax.random.randint(kl, (n,), 0, cfg.num_lanes)
-    new_y = _lane_centers(cfg)[new_lane]
-    new_v = jax.random.uniform(kv, (n,), minval=NPC_V_MIN, maxval=NPC_V_MAX)
-    x = jnp.where(behind, new_x, x)
-    y = jnp.where(behind, new_y, npcs[:, 1])
-    v = jnp.where(behind, new_v, npcs[:, 3])
-    return jnp.stack([x, y, jnp.zeros_like(x), v], axis=-1)
+    sp_lane = jax.random.randint(kl_, (n,), 0, cfg.num_lanes)
+    new_d = lanes[sp_lane]
+    new_v = jax.random.uniform(kv_, (n,), minval=NPC_V_MIN, maxval=NPC_V_MAX)
+    s = jnp.where(behind, new_s, s)
+    d = jnp.where(behind, new_d, d)
+    v = jnp.where(behind, new_v, v)
+    d_tgt = jnp.where(behind, new_d, d_tgt)
+    v_cruise = jnp.where(behind, new_v, v_cruise)
+    return jnp.stack([s, d, v, d_tgt, v_cruise], axis=-1)
+
+
+def _npc_heading(npcs: Array) -> Array:
+    """NPC heading relative to the road tangent (lane-change slew angle)."""
+    lat_rate = jnp.clip(npcs[:, 3] - npcs[:, 1], -LAT_RATE, LAT_RATE)
+    return jnp.arctan2(lat_rate, jnp.maximum(npcs[:, 2], 1.0))
 
 
 def _collision(ego: Array, npcs: Array) -> Array:
-    dx = jnp.abs(npcs[:, 0] - ego[0])
-    dy = jnp.abs(npcs[:, 1] - ego[1])
-    hit = (dx < 2 * CAR_HALF_LEN) & (dy < 2 * CAR_HALF_WID)
-    return jnp.any(hit)
+    """Heading-aware OBB-vs-OBB separating-axis test in local road coords.
+
+    Nearby geometry (|ds| < ~5 m) is metrically flat in Frenet coordinates,
+    so the rectangles live in the (s, d) plane: ego at (0, 0) rotated by mu,
+    NPCs at (ds, dd) rotated by their lane-change slew angle. Two OBBs
+    overlap iff no separating axis exists among the 4 face normals.
+    """
+    mu = ego[2]
+    ds = npcs[:, 0] - ego[0]                    # (N,)
+    dd = npcs[:, 1] - ego[1]
+    phi = _npc_heading(npcs)                    # (N,)
+
+    def axes(theta):
+        c, s_ = jnp.cos(theta), jnp.sin(theta)
+        return jnp.stack([c, s_], -1), jnp.stack([-s_, c], -1)  # long, lat
+
+    ea1, ea2 = axes(mu)                         # (2,) each
+    na1, na2 = axes(phi)                        # (N, 2) each
+    delta = jnp.stack([ds, dd], -1)             # (N, 2)
+
+    def sep(axis, a1, a2, b1, b2):
+        # axis (N,2); project half-extents of both boxes onto it.
+        ra = (CAR_HALF_LEN * jnp.abs(jnp.sum(axis * a1, -1))
+              + CAR_HALF_WID * jnp.abs(jnp.sum(axis * a2, -1)))
+        rb = (CAR_HALF_LEN * jnp.abs(jnp.sum(axis * b1, -1))
+              + CAR_HALF_WID * jnp.abs(jnp.sum(axis * b2, -1)))
+        return jnp.abs(jnp.sum(delta * axis, -1)) > ra + rb
+
+    e1 = jnp.broadcast_to(ea1, na1.shape)
+    e2 = jnp.broadcast_to(ea2, na2.shape)
+    separated = (sep(e1, e1, e2, na1, na2) | sep(e2, e1, e2, na1, na2)
+                 | sep(na1, e1, e2, na1, na2) | sep(na2, e1, e2, na1, na2))
+    return jnp.any(~separated)
 
 
 # ---------------------------------------------------------------- sensors --
 
+def _lane_poly(road: Array, ego: Array, x: Array) -> Array:
+    """Ego-frame lateral position of the ROAD CENTERLINE at lookahead x.
+
+    Standard clothoid lane model: y_c(x) = -d - mu*x + 1/2 kappa x^2 +
+    1/6 kappa' x^3 (y left-positive). This is what makes curves visible in
+    the rendered views and maps pixels to road-lateral offsets.
+    """
+    s, d, mu = ego[0], ego[1], ego[2]
+    kap = curvature(road, s)
+    kap_r = curvature_rate(road, s)
+    return -d - mu * x + 0.5 * kap * x * x + (1.0 / 6.0) * kap_r * x ** 3
+
+
+def _npc_ego_frame(road: Array, ego: Array, npcs: Array
+                   ) -> Tuple[Array, Array]:
+    """NPC centers in the ego frame (x ahead, y left), bending the road-
+    relative gap by the same lane polynomial used for rendering."""
+    ds = npcs[:, 0] - ego[0]
+    x = ds * jnp.cos(ego[2])
+    y = npcs[:, 1] + _lane_poly(road, ego, ds)
+    return x, y
+
+
 def render_camera(cfg: EnvConfig, state: EnvState) -> Array:
-    """Ego-centric top-down RGB. View: x in [0, 48m] ahead, y in [-12, 12]."""
+    """Ego-centric top-down RGB. View: x in [0, 48m] ahead, y in [-12, 12].
+
+    The road band curves across the image according to the episode's
+    curvature profile (lane polynomial); NPC boxes are drawn at their
+    ego-frame positions with smooth edges (pure VPU, no gathers).
+    """
     h, w = cfg.image_hw
     half_w = _road_half_width(cfg)
-    # Pixel centers in ego-relative world coords (row 0 = farthest ahead).
-    xs = jnp.linspace(48.0, 0.0, h).reshape(h, 1)
-    ys = jnp.linspace(-12.0, 12.0, w).reshape(1, w)
-    rel_y = ys - state.ego[1]          # lateral offset from ego
-    # Road surface (dark gray) where |world y| <= half width.
-    on_road = (jnp.abs(ys) <= half_w).astype(jnp.float32) * jnp.ones((h, 1))
+    xs = jnp.linspace(48.0, 0.0, h).reshape(h, 1)     # row 0 = farthest
+    ys = jnp.linspace(-12.0, 12.0, w).reshape(1, w)   # y left-positive
+    yc = _lane_poly(state.road, state.ego, xs)        # (h, 1) centerline
+    lat = ys - yc                                     # road-lateral offset
+    on_road = (jnp.abs(lat) <= half_w).astype(jnp.float32)
     img = 0.25 * on_road[..., None] * jnp.ones((h, w, 3))
     img = img + 0.55 * (1 - on_road[..., None]) * jnp.array([0.1, 0.35, 0.1])
-    # Lane markings (white dashes) at lane boundaries.
+    # Lane markings (white dashes) at lane boundaries, dashed by arc length.
     bounds = _lane_centers(cfg)[:-1] + cfg.lane_width / 2.0
-    dist = jnp.min(jnp.abs(ys[..., None] - bounds.reshape(1, 1, -1)), axis=-1)
-    world_x = xs + state.ego[0]
-    dash = (jnp.mod(world_x, 4.0) < 2.0).astype(jnp.float32)
-    marking = ((dist < 0.3).astype(jnp.float32) * dash)
+    dist = jnp.min(jnp.abs(lat[..., None] - bounds.reshape(1, 1, -1)), axis=-1)
+    world_s = xs + state.ego[0]
+    dash = (jnp.mod(world_s, 4.0) < 2.0).astype(jnp.float32)
+    marking = (dist < 0.3).astype(jnp.float32) * dash
     img = jnp.clip(img + marking[..., None] * 0.6, 0.0, 1.0)
-    # NPC boxes (red), smooth edges.
-    rel_npc_x = state.npcs[:, 0] - state.ego[0]       # (N,)
-    npc_y = state.npcs[:, 1]
+    # NPC boxes (red) at ego-frame positions, smooth edges.
+    nx, ny = _npc_ego_frame(state.road, state.ego, state.npcs)
     inx = jax.nn.sigmoid((CAR_HALF_LEN - jnp.abs(
-        xs[..., None] - rel_npc_x.reshape(1, 1, -1))) * 4.0)
+        xs[..., None] - nx.reshape(1, 1, -1))) * 4.0)
     iny = jax.nn.sigmoid((CAR_HALF_WID - jnp.abs(
-        ys[..., None] - npc_y.reshape(1, 1, -1))) * 4.0)
+        ys[..., None] - ny.reshape(1, 1, -1))) * 4.0)
     npc_mask = jnp.clip(jnp.sum(inx * iny, axis=-1), 0.0, 1.0)
     img = img * (1 - npc_mask[..., None]) + npc_mask[..., None] * jnp.array(
         [0.85, 0.1, 0.1])
-    # Ego marker (green) at x=0, ego lateral position.
+    # Ego marker (green) at the origin.
     ego_x = jax.nn.sigmoid((CAR_HALF_LEN - jnp.abs(xs - 0.0)) * 4.0)
-    ego_y = jax.nn.sigmoid((CAR_HALF_WID - jnp.abs(rel_y - 0.0)) * 4.0)
+    ego_y = jax.nn.sigmoid((CAR_HALF_WID - jnp.abs(ys - 0.0)) * 4.0)
     ego_mask = jnp.clip(ego_x * ego_y, 0.0, 1.0)
     img = img * (1 - ego_mask[..., None]) + ego_mask[..., None] * jnp.array(
         [0.1, 0.85, 0.1])
@@ -174,9 +330,9 @@ def render_camera(cfg: EnvConfig, state: EnvState) -> Array:
 def render_camera_front(cfg: EnvConfig, state: EnvState) -> Array:
     """Perspective pinhole front camera at the ego (CARLA-style view).
 
-    Camera at height 1.5 m looking along +x (ego frame); ground-plane
-    intersection colors road/lanes/grass, NPC boxes are projected and drawn
-    as smooth billboards with nearer cars occluding the ground. Static
+    Camera at height 1.5 m looking along the ego heading; ground-plane
+    intersection colors road/lanes/grass with the road band bent by the
+    lane polynomial, NPC boxes projected as smooth billboards. Static
     shapes, pure VPU math — vmap/jit friendly.
     """
     h, w = cfg.image_hw
@@ -191,11 +347,12 @@ def render_camera_front(cfg: EnvConfig, state: EnvState) -> Array:
     below = v < -1e-3
     depth = jnp.where(below, f * cam_h / jnp.maximum(-v, 1e-3), 1e6)  # (h,1)
     depth2d = jnp.broadcast_to(depth, (h, w))
-    lat = u * depth2d / f                              # lateral (left neg)
-    world_y = state.ego[1] - lat                       # y left-positive
-    world_x = state.ego[0] + depth2d
+    lat = -u * depth2d / f                            # lateral, left-positive
+    # Road-lateral offset of each ground pixel (lane polynomial).
+    yc = _lane_poly(state.road, state.ego, depth2d)
+    road_lat = lat - yc
 
-    on_road = (jnp.abs(world_y) <= half_w) & below
+    on_road = (jnp.abs(road_lat) <= half_w) & below
     grass = below & ~on_road
     sky = ~below
 
@@ -203,20 +360,19 @@ def render_camera_front(cfg: EnvConfig, state: EnvState) -> Array:
            + grass[..., None] * jnp.array([0.12, 0.35, 0.12])
            + on_road[..., None] * jnp.array([0.25, 0.25, 0.27]))
 
-    # Lane markings: distance to nearest boundary < 0.15 m, dashed by x.
+    # Lane markings: distance to nearest boundary < 0.15 m, dashed by arc.
     bounds = _lane_centers(cfg)[:-1] + cfg.lane_width / 2.0
-    dist = jnp.min(jnp.abs(world_y[..., None] - bounds.reshape(1, 1, -1)),
+    dist = jnp.min(jnp.abs(road_lat[..., None] - bounds.reshape(1, 1, -1)),
                    axis=-1)
-    dash = (jnp.mod(world_x, 4.0) < 2.0)
+    dash = (jnp.mod(state.ego[0] + depth2d, 4.0) < 2.0)
     marking = (dist < 0.15) & dash & on_road
     img = jnp.where(marking[..., None], jnp.array([0.85, 0.85, 0.85]), img)
 
-    # NPC billboards: project rel (dx, dy) into (u, v); nearer occlude.
-    rel_x = state.npcs[:, 0] - state.ego[0]            # (N,) forward
-    rel_y = state.npcs[:, 1] - state.ego[1]            # left positive
-    visible = rel_x > 1.0
-    xz = jnp.maximum(rel_x, 1.0)
-    u_c = -f * rel_y / xz                              # (N,)
+    # NPC billboards at ego-frame positions; nearer occlude.
+    nx, ny = _npc_ego_frame(state.road, state.ego, state.npcs)
+    visible = nx > 1.0
+    xz = jnp.maximum(nx, 1.0)
+    u_c = -f * ny / xz                                 # (N,)
     u_half = f * (2 * CAR_HALF_WID) / xz
     v_bot = -f * cam_h / xz
     v_top = -f * (cam_h - 1.6) / xz                    # car height 1.6 m
@@ -241,15 +397,15 @@ def render_camera_front(cfg: EnvConfig, state: EnvState) -> Array:
 def lidar_scan(cfg: EnvConfig, state: EnvState) -> Tuple[Array, Array]:
     """Fixed ray fan vs NPC circles. Returns (points (R,4), mask (R,)).
 
-    Points are in the ego frame (x ahead, y left), z = 0.5, intensity 1.
+    Rays are cast in the EGO frame directly (x ahead, y left); NPC centers
+    are mapped into the ego frame with the same bend as the renderers, so
+    camera and LiDAR agree. z = 0.5, intensity 1 for hits.
     """
     r = cfg.lidar_rays
-    angles = jnp.linspace(-jnp.pi / 2, jnp.pi / 2, r) + state.ego[2]
+    angles = jnp.linspace(-jnp.pi / 2, jnp.pi / 2, r)
     dx = jnp.cos(angles)          # (R,)
     dy = jnp.sin(angles)
-    # NPC centers relative to ego.
-    cx = state.npcs[:, 0] - state.ego[0]     # (N,)
-    cy = state.npcs[:, 1] - state.ego[1]
+    cx, cy = _npc_ego_frame(state.road, state.ego, state.npcs)   # (N,)
     # Ray-circle: t = b - sqrt(b^2 - c), b = d.c, c = |c|^2 - r^2
     b = dx[:, None] * cx[None, :] + dy[:, None] * cy[None, :]   # (R, N)
     c = (cx ** 2 + cy ** 2)[None, :] - NPC_RADIUS ** 2
@@ -260,14 +416,9 @@ def lidar_scan(cfg: EnvConfig, state: EnvState) -> Tuple[Array, Array]:
     t_min = jnp.min(t, axis=1)                                   # (R,)
     mask = t_min <= LIDAR_MAX_RANGE
     t_safe = jnp.where(mask, t_min, 0.0)
-    # Back to ego frame (undo heading): hit point in world-rel, rotate -psi.
-    px_w = t_safe * dx
-    py_w = t_safe * dy
-    cpsi, spsi = jnp.cos(-state.ego[2]), jnp.sin(-state.ego[2])
-    px = px_w * cpsi - py_w * spsi
-    py = px_w * spsi + py_w * cpsi
     pts = jnp.stack(
-        [px, py, jnp.full((r,), 0.5), jnp.ones((r,))], axis=-1
+        [t_safe * dx, t_safe * dy, jnp.full((r,), 0.5), jnp.ones((r,))],
+        axis=-1,
     ).astype(jnp.float32)
     pts = pts * mask[:, None]
     return pts, mask
@@ -291,10 +442,12 @@ def step(cfg: EnvConfig, state: EnvState, action: Array) -> Tuple[EnvState, Time
     accel = accels[action]
 
     key, k_npc, k_reset = jax.random.split(state.key, 3)
-    ego = _dynamics(cfg, state.ego, steer, accel)
+    ego, s_dot = _dynamics(cfg, state.road, state.ego, steer, accel)
     npcs = _advance_npcs(cfg, state.npcs, ego, k_npc)
 
-    progress = ego[3] * jnp.cos(ego[2]) * cfg.dt
+    # Road-aligned progress: pays for following the road, not for speed in
+    # a straight line (driving straight through a curve exits the road).
+    progress = s_dot * cfg.dt
     collided = _collision(ego, npcs)
     off_road = jnp.abs(ego[1]) > _road_half_width(cfg) - CAR_HALF_WID * 0.5
     lane_d = jnp.min(jnp.abs(ego[1] - _lane_centers(cfg)))
@@ -303,13 +456,13 @@ def step(cfg: EnvConfig, state: EnvState, action: Array) -> Tuple[EnvState, Time
         - 10.0 * collided.astype(jnp.float32)
         - 5.0 * off_road.astype(jnp.float32)
         - 0.05 * lane_d
-        - 0.01 * jnp.abs(ego[2])
+        - 0.05 * jnp.abs(ego[2])
     )
 
     t = state.t + 1
     done = collided | off_road | (t >= cfg.max_steps)
 
-    next_state = EnvState(ego=ego, npcs=npcs, t=t, key=key)
+    next_state = EnvState(ego=ego, npcs=npcs, road=state.road, t=t, key=key)
     fresh = reset(cfg, k_reset)
     next_state = jax.tree_util.tree_map(
         lambda a, b: jnp.where(done, a, b), fresh, next_state)

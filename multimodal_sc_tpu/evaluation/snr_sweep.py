@@ -32,9 +32,15 @@ def sweep_camera(
     kinds: Sequence[str] = ("awgn", "rayleigh"),
     batches_per_point: int = 4,
     seg: Array = None,
+    normalize: bool = True,
+    modulation: int = 0,
 ) -> Dict[str, List[dict]]:
     """PSNR (+ mIoU when the codec has a seg head and `seg` labels are
-    given) curves for an image codec: {kind: [{snr_db, psnr[, miou]}]}."""
+    given) curves for an image codec: {kind: [{snr_db, psnr[, miou]}]}.
+
+    `normalize`/`modulation` must mirror the training ChannelConfig so a
+    model trained in M-QAM mode is evaluated over the same digital channel
+    (ADVICE r1)."""
 
     import functools
 
@@ -44,7 +50,8 @@ def sweep_camera(
     def eval_point(params, img, seg, snr_db, key, kind):
         snr_vec = jnp.full((img.shape[0],), snr_db, jnp.float32)
         z = model.apply({"params": params}, img, snr_vec, method="encode")
-        z_hat = channel_op(z, snr_vec, kind, key)
+        z_hat = channel_op(z, snr_vec, kind, key, normalize=normalize,
+                           modulation=modulation)
         if with_seg:
             rec, seg_logits = model.apply({"params": params}, z_hat, snr_vec,
                                           method="decode_seg")
@@ -76,18 +83,30 @@ def sweep_lidar(
     model, params, points: Array, mask: Array, occ_target: Array, key: Array,
     snrs_db: Sequence[float] = DEFAULT_SNRS,
     kinds: Sequence[str] = ("awgn", "rayleigh"),
+    normalize: bool = True,
+    modulation: int = 0,
 ) -> Dict[str, List[dict]]:
-    """mIoU curve for the LiDAR occupancy codec."""
+    """mIoU curve for the LiDAR BEV codec.
+
+    Handles both modes of LidarBEVCodec: binary occupancy (single logit,
+    `occ_target` a 0/1 grid) and semantic BEV (`model.seg_classes` > 1,
+    `occ_target` an int class grid)."""
 
     import functools
+
+    n_classes = getattr(model, "seg_classes", 1)
 
     @functools.partial(jax.jit, static_argnames=("kind",))
     def eval_point(params, points, mask, occ, snr_db, key, kind):
         z = model.apply({"params": params}, (points, mask), method="encode")
         snr_vec = jnp.full((points.shape[0],), snr_db, jnp.float32)
-        z_hat = channel_op(z, snr_vec, kind, key)
-        logits = model.apply({"params": params}, z_hat, method="decode")[..., 0]
-        pred = (logits > 0).astype(jnp.int32)
+        z_hat = channel_op(z, snr_vec, kind, key, normalize=normalize,
+                           modulation=modulation)
+        logits = model.apply({"params": params}, z_hat, method="decode")
+        if n_classes > 1:
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return miou(pred, occ.astype(jnp.int32), n_classes)
+        pred = (logits[..., 0] > 0).astype(jnp.int32)
         return miou(pred, occ.astype(jnp.int32), 2)
 
     results: Dict[str, List[dict]] = {}

@@ -45,6 +45,15 @@ class CheckpointManager:
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
+    def restore_raw_latest(self) -> Optional[Any]:
+        """Restore the newest checkpoint WITHOUT a target: returns the saved
+        pytree as nested dicts of host arrays (for partial/params-only
+        consumers like the JSCC->RL warm-start)."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        return self._mgr.restore(step, args=ocp.args.StandardRestore())
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 

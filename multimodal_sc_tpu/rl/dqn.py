@@ -24,7 +24,7 @@ import optax
 
 from multimodal_sc_tpu.config.configs import ExperimentConfig
 from multimodal_sc_tpu.envs import driving
-from multimodal_sc_tpu.rl import replay
+from multimodal_sc_tpu.rl import nstep, replay
 from multimodal_sc_tpu.rl.perception import QNetwork
 
 Array = jax.Array
@@ -48,6 +48,7 @@ class DQNState(NamedTuple):
     opt_state: Any
     env_states: Any            # batched EnvState
     buffer: Any                # ReplayBuffer
+    window: Any                # NStepWindow (rl/nstep.py)
     key: Array
     step: Array                # () int32 gradient steps taken
     ep_return: Array           # (B,) running episode return per env
@@ -83,13 +84,18 @@ def init(cfg: ExperimentConfig, key: Array, num_envs: int) -> DQNState:
         next_image=img[0], next_points=pts[0], next_mask=mask[0],
     )
     buf = replay.create(example, cfg.rl.replay_capacity)
+    window = nstep.create(
+        {"image": img, "points": pts, "mask": mask,
+         "action": jnp.zeros((num_envs,), jnp.int32)},
+        cfg.rl.n_step, num_envs)
     zeros = jnp.zeros((num_envs,), jnp.float32)
     # Distinct buffers for target params: the jitted iteration donates the
     # whole state, and XLA rejects donating the same buffer twice.
     target_params = jax.tree_util.tree_map(jnp.copy, params)
     return DQNState(params=params, target_params=target_params,
                     opt_state=opt_state,
-                    env_states=env_states, buffer=buf, key=k_state,
+                    env_states=env_states, buffer=buf, window=window,
+                    key=k_state,
                     step=jnp.int32(0), ep_return=zeros,
                     last_return=jnp.copy(zeros))
 
@@ -124,8 +130,11 @@ def _td_loss(params, target_params, batch: Transition, key: Array,
         a_star = jnp.argmax(q_next_t, axis=-1)
     q_boot = jnp.take_along_axis(q_next_t, a_star[:, None], axis=-1)[:, 0]
     nonterm = 1.0 - batch.done.astype(jnp.float32)
-    target = batch.reward + cfg.rl.gamma * nonterm * jax.lax.stop_gradient(
-        q_boot)
+    # batch.reward is the (truncated) n-step return and batch.next_* the
+    # observation n steps later, so the bootstrap discount is gamma^n
+    # (rl/nstep.py); n_step=1 is vanilla TD.
+    gamma_n = cfg.rl.gamma ** cfg.rl.n_step
+    target = batch.reward + gamma_n * nonterm * jax.lax.stop_gradient(q_boot)
     return jnp.mean(optax.huber_loss(q_taken, target))
 
 
@@ -137,7 +146,10 @@ def make_iteration(cfg: ExperimentConfig, learn: bool = True):
     # updates it in place instead of double-buffering hundreds of MB.
     @functools.partial(jax.jit, donate_argnums=(0,))
     def iteration(state: DQNState):
-        key, k_act, k_step, k_sample, k_loss = jax.random.split(state.key, 5)
+        # Same split count/order as the shard_map twin (rl/dqn_sharded.py)
+        # so a 1-shard sharded iteration is bit-identical to this one
+        # (tests/distributed/test_dqn_sharded.py equivalence test).
+        key, k_act, k_sample, k_loss = jax.random.split(state.key, 4)
 
         img, pts, mask = driving.observe_batch(cfg.env, state.env_states)
         eps = _epsilon(cfg, state.step)
@@ -148,12 +160,25 @@ def make_iteration(cfg: ExperimentConfig, learn: bool = True):
         last_return = jnp.where(ts.done, ep_return, state.last_return)
         ep_return = jnp.where(ts.done, 0.0, ep_return)
 
+        # n-step window: push the newest (obs, action, r, done), emit the
+        # transition anchored n steps back (n=1: this step's transition).
+        window, oldest, n_ret, n_done, valid = nstep.push(
+            state.window,
+            {"image": img, "points": pts, "mask": mask, "action": actions},
+            ts.reward, ts.done, cfg.rl.gamma)
         trans = Transition(
-            image=img, points=pts, mask=mask, action=actions,
-            reward=ts.reward, done=ts.done,
+            image=oldest["image"], points=oldest["points"],
+            mask=oldest["mask"], action=oldest["action"],
+            reward=n_ret, done=n_done,
             next_image=ts.image, next_points=ts.points, next_mask=ts.mask,
         )
-        buf = replay.add_batch(state.buffer, trans)
+        new_buf = replay.add_batch(state.buffer, trans)
+        # Until the window fills, the scattered rows are placeholders:
+        # freeze cursor/size so they stay outside the sampleable prefix and
+        # get overwritten by the first real adds.
+        buf = new_buf._replace(
+            cursor=jnp.where(valid, new_buf.cursor, state.buffer.cursor),
+            size=jnp.where(valid, new_buf.size, state.buffer.size))
 
         def do_learn(args):
             params, target_params, opt_state, step = args
@@ -186,8 +211,8 @@ def make_iteration(cfg: ExperimentConfig, learn: bool = True):
 
         new_state = DQNState(
             params=params, target_params=target_params, opt_state=opt_state,
-            env_states=env_states, buffer=buf, key=key, step=step,
-            ep_return=ep_return, last_return=last_return)
+            env_states=env_states, buffer=buf, window=window, key=key,
+            step=step, ep_return=ep_return, last_return=last_return)
         metrics = {"loss": loss, "epsilon": eps,
                    "reward": jnp.mean(ts.reward),
                    "episode_return": jnp.mean(last_return),

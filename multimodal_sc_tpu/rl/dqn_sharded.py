@@ -27,7 +27,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from multimodal_sc_tpu.config.configs import ExperimentConfig
 from multimodal_sc_tpu.envs import driving
-from multimodal_sc_tpu.rl import replay
+from multimodal_sc_tpu.rl import nstep, replay
 from multimodal_sc_tpu.rl.dqn import Transition, _epsilon, _td_loss, act
 from multimodal_sc_tpu.rl.dqn import make_optimizer
 from multimodal_sc_tpu.rl.perception import QNetwork
@@ -44,6 +44,7 @@ class ShardedDQNState(NamedTuple):
     buffer_data: Any     # (S, capacity, ...) sharded over data
     buffer_cursor: Array  # (S,)
     buffer_size: Array    # (S,)
+    window: Any          # NStepWindow stacked (S, ...) sharded over data
     keys: Array          # (S,) per-shard PRNG keys, sharded
     step: Array          # () replicated gradient-step counter
     ep_return: Array     # (S * E,) sharded
@@ -72,6 +73,15 @@ def init(cfg: ExperimentConfig, key: Array, mesh,
     buffer_data = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (n_shards,) + x.shape).copy(),
         one_buf.data)
+    one_window = nstep.create(
+        {"image": img[:envs_per_shard], "points": pts[:envs_per_shard],
+         "mask": mask[:envs_per_shard],
+         "action": jnp.zeros((envs_per_shard,), jnp.int32)},
+        cfg.rl.n_step, envs_per_shard)
+    window = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(
+            jnp.asarray(x)[None], (n_shards,) + jnp.shape(x)).copy(),
+        one_window)
 
     repl = NamedSharding(mesh, P())
     shard1 = NamedSharding(mesh, P(DATA_AXIS))
@@ -91,6 +101,7 @@ def init(cfg: ExperimentConfig, key: Array, mesh,
         buffer_cursor=jax.device_put(jnp.zeros((n_shards,), jnp.int32),
                                      shard1),
         buffer_size=jax.device_put(jnp.zeros((n_shards,), jnp.int32), shard1),
+        window=jax.tree_util.tree_map(put_data, window),
         keys=jax.device_put(jax.random.split(k_shard, n_shards), shard1),
         step=jax.device_put(jnp.int32(0), repl),
         ep_return=put_data(zeros),
@@ -103,12 +114,13 @@ def make_iteration(cfg: ExperimentConfig, mesh):
     capacity = cfg.rl.replay_capacity
 
     def shard_fn(params, target_params, opt_state, env_states, buffer_data,
-                 cursor, size, keys, step, ep_return, last_return):
+                 cursor, size, window, keys, step, ep_return, last_return):
         # Inside shard_map: leading shard dims are local (size 1 for the
-        # buffer stack, E for env arrays). Unstack the local buffer.
+        # buffer stack, E for env arrays). Unstack the local buffer/window.
         buf = replay.ReplayBuffer(
             data=jax.tree_util.tree_map(lambda x: x[0], buffer_data),
             cursor=cursor[0], size=size[0], capacity=capacity)
+        win = jax.tree_util.tree_map(lambda x: x[0], window)
         key = keys[0]
         key, k_act, k_sample, k_loss = jax.random.split(key, 4)
 
@@ -121,11 +133,20 @@ def make_iteration(cfg: ExperimentConfig, mesh):
         last_return = jnp.where(ts.done, ep_return, last_return)
         ep_return = jnp.where(ts.done, 0.0, ep_return)
 
+        # Same n-step window logic as the unsharded twin (rl/dqn.py).
+        win, oldest, n_ret, n_done, valid = nstep.push(
+            win,
+            {"image": img, "points": pts, "mask": mask, "action": actions},
+            ts.reward, ts.done, cfg.rl.gamma)
         trans = Transition(
-            image=img, points=pts, mask=mask, action=actions,
-            reward=ts.reward, done=ts.done,
+            image=oldest["image"], points=oldest["points"],
+            mask=oldest["mask"], action=oldest["action"],
+            reward=n_ret, done=n_done,
             next_image=ts.image, next_points=ts.points, next_mask=ts.mask)
-        buf = replay.add_batch(buf, trans)
+        new_buf = replay.add_batch(buf, trans)
+        buf = new_buf._replace(
+            cursor=jnp.where(valid, new_buf.cursor, buf.cursor),
+            size=jnp.where(valid, new_buf.size, buf.size))
 
         def do_learn(args):
             params, target_params, opt_state, step = args
@@ -156,13 +177,16 @@ def make_iteration(cfg: ExperimentConfig, mesh):
 
         metrics = {
             "loss": loss,
+            "epsilon": eps,
             "reward": jax.lax.pmean(jnp.mean(ts.reward), DATA_AXIS),
             "episode_return": jax.lax.pmean(jnp.mean(last_return), DATA_AXIS),
             "buffer_size": buf.size.astype(jnp.float32),
         }
         return (params, target_params, opt_state, env_states,
                 jax.tree_util.tree_map(lambda x: x[None], buf.data),
-                buf.cursor[None], buf.size[None], key[None], step,
+                buf.cursor[None], buf.size[None],
+                jax.tree_util.tree_map(lambda x: x[None], win),
+                key[None], step,
                 ep_return, last_return, metrics)
 
     d = P(DATA_AXIS)
@@ -182,7 +206,9 @@ def make_iteration(cfg: ExperimentConfig, mesh):
             jax.tree_util.tree_map(lambda _: r, state.opt_state),
             specs_like(state.env_states, dn),
             specs_like(state.buffer_data, dn),
-            d, d, d, r,
+            d, d,
+            specs_like(state.window, dn),
+            d, r,
             d, d,
         )
         out_specs = (
@@ -191,9 +217,11 @@ def make_iteration(cfg: ExperimentConfig, mesh):
             jax.tree_util.tree_map(lambda _: r, state.opt_state),
             specs_like(state.env_states, dn),
             specs_like(state.buffer_data, dn),
-            d, d, d, r,
             d, d,
-            {k: r for k in ("loss", "reward", "episode_return",
+            specs_like(state.window, dn),
+            d, r,
+            d, d,
+            {k: r for k in ("loss", "epsilon", "reward", "episode_return",
                             "buffer_size")},
         )
         out = shard_map(
@@ -201,8 +229,8 @@ def make_iteration(cfg: ExperimentConfig, mesh):
             check_vma=False,
         )(state.params, state.target_params, state.opt_state,
           state.env_states, state.buffer_data, state.buffer_cursor,
-          state.buffer_size, state.keys, state.step, state.ep_return,
-          state.last_return)
+          state.buffer_size, state.window, state.keys, state.step,
+          state.ep_return, state.last_return)
         metrics = out[-1]
         new_state = ShardedDQNState(*out[:-1])
         return new_state, metrics

@@ -168,7 +168,7 @@ def make_train_step(cfg: ExperimentConfig):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: PPOState):
-        key, k_roll, k_last, k_perm, k_loss = jax.random.split(state.key, 5)
+        key, k_roll, k_last, k_perm = jax.random.split(state.key, 4)
 
         env_states, ep_return, last_return, _, ro = _collect_rollout(
             cfg, state.params, state.env_states, state.ep_return,
@@ -193,13 +193,20 @@ def make_train_step(cfg: ExperimentConfig):
 
         def epoch_fn(carry, k_epoch):
             params, opt_state = carry
-            perm = jax.random.permutation(k_epoch, T * B)
+            k_mix, k_loss_e = jax.random.split(k_epoch)
+            perm = jax.random.permutation(k_mix, T * B)
 
             def mb_fn(carry, i):
                 params, opt_state = carry
                 idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_size, mb_size)
                 batch = {k: v[idx] for k, v in flat.items()}
-                k_i = jax.random.fold_in(k_loss, i)
+                # Fresh channel-noise key per (epoch, minibatch). The loss
+                # recomputes log-probs under RESAMPLED observation noise, so
+                # the clipped ratio mixes policy change with noise change
+                # even at the first update — an accepted bias (the policy is
+                # optimized in expectation over the channel; reusing the
+                # rollout keys would overfit to one noise draw).
+                k_i = jax.random.fold_in(k_loss_e, i)
                 (loss, aux), grads = jax.value_and_grad(
                     lambda p: _ppo_loss(p, batch, cfg, k_i), has_aux=True)(
                     params)

@@ -58,6 +58,14 @@ def add(buf: ReplayBuffer, transition: Any) -> ReplayBuffer:
 def add_batch(buf: ReplayBuffer, transitions: Any) -> ReplayBuffer:
     """Insert a batch (leading dim B) with wraparound via scatter."""
     b = jax.tree_util.tree_leaves(transitions)[0].shape[0]
+    # Static (trace-time) check via the store's leading dim (always a
+    # concrete shape, even when buf.capacity itself is traced under jit):
+    # duplicate scatter indices would make surviving writes order-undefined
+    # and `size` would over-count.
+    cap = jax.tree_util.tree_leaves(buf.data)[0].shape[0]
+    if b > cap:
+        raise ValueError(
+            f"add_batch of {b} transitions exceeds capacity {cap}")
     idx = (buf.cursor + jnp.arange(b)) % buf.capacity
 
     def put(store, x):

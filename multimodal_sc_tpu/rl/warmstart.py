@@ -1,0 +1,120 @@
+"""JSCC-pretrain -> RL warm-start (SURVEY.md §7 hard-part 4).
+
+Reconstruction pretraining (configs 1-3) learns the semantic codecs; this
+module maps those codec params into the RL perception trunk
+(``rl/perception.py`` — its submodule param trees intentionally mirror the
+codec modules) so DQN/PPO (configs 4-5) start from a channel-robust
+representation instead of random features.
+
+Source checkpoints:
+  * ``train/jscc.py`` (c1/c2): TrainState params ``{"encoder", "decoder"}``
+    of ``CameraJSCC`` -> ``perception.cam_enc``.
+  * ``train/fusion_jscc.py`` (c3): ``{"camera": {...}, "lidar": {...}}`` of
+    ``LateFusionJSCC`` -> camera encoder plus the five LiDAR trunk modules.
+
+Every copy is shape-checked leaf by leaf; mismatches (e.g. a ViT camera
+checkpoint warm-starting a CNN trunk) are skipped with a warning, never
+silently mis-assigned.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_sc_tpu.config.configs import ExperimentConfig
+
+
+def _leaf_paths(tree: Any) -> Dict[Tuple, Any]:
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {tuple(str(k) for k in path): leaf for path, leaf in flat}
+
+
+def _shape_checked_copy(dst: Any, src: Any) -> Tuple[bool, Any]:
+    """Return (ok, dst-with-src-values). ok=False on any key/shape mismatch."""
+    d = _leaf_paths(dst)
+    s = _leaf_paths(src)
+    if set(d) != set(s):
+        return False, dst
+    for k in d:
+        if tuple(jnp.shape(d[k])) != tuple(jnp.shape(s[k])):
+            return False, dst
+    leaves, treedef = jax.tree_util.tree_flatten(dst)
+    flat_src, _ = jax.tree_util.tree_flatten_with_path(src)
+    src_by_path = {tuple(str(kk) for kk in p): v for p, v in flat_src}
+    flat_dst, _ = jax.tree_util.tree_flatten_with_path(dst)
+    new_leaves = []
+    for (path, leaf) in flat_dst:
+        v = src_by_path[tuple(str(kk) for kk in path)]
+        v = jnp.asarray(v, dtype=jnp.asarray(leaf).dtype)
+        if hasattr(leaf, "sharding"):
+            v = jax.device_put(v, leaf.sharding)
+        new_leaves.append(v)
+    return True, jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def load_jscc_into_perception(cfg: ExperimentConfig, params: Any,
+                              ckpt_dir: str) -> Any:
+    """Return `params` with perception submodules warm-started from the
+    JSCC checkpoint at `ckpt_dir` (a train/jscc or train/fusion_jscc
+    checkpoint directory). Raises if nothing at all could be mapped."""
+    from multimodal_sc_tpu.io.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(ckpt_dir)
+    raw = mgr.restore_raw_latest()
+    mgr.close()
+    if raw is None:
+        raise FileNotFoundError(f"no checkpoint found under {ckpt_dir!r}")
+    src = raw.get("params", raw) if isinstance(raw, dict) else raw
+
+    if "perception" not in params:
+        raise KeyError("target params have no 'perception' submodule")
+    per = dict(params["perception"])
+
+    # Resolve source layout: plain CameraJSCC vs LateFusionJSCC.
+    cam_src = None
+    lid_src = None
+    if "encoder" in src:                       # CameraJSCC TrainState (c1/c2)
+        cam_src = src
+    if "camera" in src:                        # LateFusionJSCC (c3)
+        cam_src = src["camera"]
+        lid_src = src.get("lidar")
+
+    assignments: List[Tuple[str, Any]] = []
+    if cam_src is not None and "encoder" in cam_src:
+        assignments.append(("cam_enc", cam_src["encoder"]))
+    if lid_src is not None:
+        assignments += [
+            ("pfn", lid_src.get("pfn")),
+            ("lid_backbone", lid_src.get("backbone")),
+            ("lid_sym_head", lid_src.get("sym_head")),
+            ("lid_sym_embed", lid_src.get("sym_embed")),
+            ("lid_dec", lid_src.get("dec_backbone")),
+        ]
+
+    loaded, skipped = [], []
+    for name, sub in assignments:
+        if sub is None or name not in per:
+            skipped.append(name)
+            continue
+        ok, new_sub = _shape_checked_copy(per[name], sub)
+        if ok:
+            per[name] = new_sub
+            loaded.append(name)
+        else:
+            skipped.append(name)
+    if not loaded:
+        raise ValueError(
+            f"warm-start from {ckpt_dir!r} mapped nothing into the "
+            f"perception trunk (skipped: {skipped}) — arch/shape mismatch?")
+    if skipped:
+        warnings.warn(
+            f"warm-start skipped {skipped} (shape/arch mismatch with "
+            f"{ckpt_dir!r}); loaded {loaded}", stacklevel=2)
+
+    new_params = dict(params)
+    new_params["perception"] = per
+    return new_params

@@ -2,6 +2,12 @@
 
 Host loop around the single jitted actor+learner iteration; metrics pulled
 every K steps in one device_get (BASELINE.json:5 no-host-round-trips rule).
+
+Multi-chip: when the mesh has more than one ``data`` shard, the driver
+builds the SPMD iteration (``rl/dqn_sharded.py`` — per-shard envs + replay
+under ``shard_map``, one grad pmean over ICI) instead of the single-device
+one, so ``python -m multimodal_sc_tpu.cli train --config c4`` trains
+data-parallel on any mesh with no config changes.
 """
 
 from __future__ import annotations
@@ -18,14 +24,46 @@ from multimodal_sc_tpu.obs.metrics_writer import (
     steps_per_sec_per_chip,
 )
 from multimodal_sc_tpu.rl import dqn as dqn_lib
+from multimodal_sc_tpu.runtime import mesh as mesh_lib
 
 
-def run(cfg: ExperimentConfig, num_envs: int = 16,
-        metrics_path: Optional[str] = None):
+def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
+        metrics_path: Optional[str] = None,
+        init_from: Optional[str] = None):
+    """Train config-4 DQN. `num_envs` defaults to cfg.rl.num_envs (the same
+    count eval-policy restores with — orbax shape-checks the env/replay
+    arrays). `init_from` warm-starts the perception trunk from a JSCC
+    checkpoint directory (SURVEY §7 hard-part 4)."""
+    if num_envs is None:
+        num_envs = cfg.rl.num_envs
     key = jax.random.key(cfg.train.seed)
     key, k_init = jax.random.split(key)
-    state = dqn_lib.init(cfg, k_init, num_envs)
-    iteration = dqn_lib.make_iteration(cfg)
+
+    mesh = mesh_lib.make_mesh()
+    n_shards = mesh.shape[mesh_lib.DATA_AXIS]
+    sharded = n_shards > 1
+    if sharded:
+        from multimodal_sc_tpu.rl import dqn_sharded
+
+        if num_envs % n_shards != 0:
+            raise ValueError(
+                f"num_envs {num_envs} not divisible by data shards {n_shards}")
+        state = dqn_sharded.init(cfg, k_init, mesh,
+                                 envs_per_shard=num_envs // n_shards)
+        iteration = dqn_sharded.make_iteration(cfg, mesh)
+        state_cls = dqn_sharded.ShardedDQNState
+    else:
+        state = dqn_lib.init(cfg, k_init, num_envs)
+        iteration = dqn_lib.make_iteration(cfg)
+        state_cls = dqn_lib.DQNState
+
+    if init_from:
+        from multimodal_sc_tpu.rl.warmstart import load_jscc_into_perception
+
+        params = load_jscc_into_perception(cfg, state.params, init_from)
+        state = state._replace(
+            params=params,
+            target_params=jax.tree_util.tree_map(jax.numpy.copy, params))
 
     writer = MetricsWriter(metrics_path, config_json=cfg.to_json())
     watchdog = NaNWatchdog()
@@ -37,7 +75,7 @@ def run(cfg: ExperimentConfig, num_envs: int = 16,
         ckpt_mgr.save_config(cfg.to_json())
         restored = ckpt_mgr.restore_latest(state)
         if restored is not None:
-            state = dqn_lib.DQNState(*restored)
+            state = state_cls(*restored)
 
     last = {}
     # Resume from the restored checkpoint's iteration (orbax step number);
@@ -60,5 +98,5 @@ def run(cfg: ExperimentConfig, num_envs: int = 16,
     writer.close()
     if ckpt_mgr:
         ckpt_mgr.close()
-    return state, {**jax.device_get(last),
+    return state, {**{k: float(v) for k, v in jax.device_get(last).items()},
                    "agent_steps_per_sec_per_chip": sps}

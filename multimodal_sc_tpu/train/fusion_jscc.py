@@ -21,7 +21,11 @@ from flax.training import train_state
 from multimodal_sc_tpu.channel import channel as channel_op
 from multimodal_sc_tpu.codec.camera_vit import ViTJSCC
 from multimodal_sc_tpu.codec.camera_cnn import CameraJSCC
-from multimodal_sc_tpu.codec.lidar_bev import LidarBEVCodec, occupancy_target
+from multimodal_sc_tpu.codec.lidar_bev import (
+    LidarBEVCodec,
+    occupancy_target,
+    semantic_bev_target,
+)
 from multimodal_sc_tpu.config.configs import ExperimentConfig
 from multimodal_sc_tpu.envs.datasets import (
     ImageDataset,
@@ -56,6 +60,7 @@ class LateFusionJSCC(nn.Module):
         lid = self.cfg.lidar
         self.lidar = LidarBEVCodec(
             pillar_dim=lid.pillar_dim, bev_hw=lid.bev_hw, c_sym=lid.c_sym,
+            seg_classes=lid.seg_classes,
             x_range=lid.x_range, y_range=lid.y_range,
             use_pallas=self.cfg.use_pallas, dtype=dtype)
 
@@ -98,9 +103,10 @@ def create_train_state(cfg: ExperimentConfig, key: Array) -> TrainState:
 def make_train_step(cfg: ExperimentConfig):
     model = LateFusionJSCC(cfg)
     lid = cfg.lidar
+    semantic = lid.seg_classes > 1
 
     @jax.jit
-    def train_step(state: TrainState, img, pts, mask, key):
+    def train_step(state: TrainState, img, pts, mask, cls, key):
         ksnr, kch = jax.random.split(key)
         if cfg.channel.random_snr:
             snr_db = jax.random.uniform(
@@ -108,26 +114,43 @@ def make_train_step(cfg: ExperimentConfig):
                 maxval=cfg.channel.snr_max_db)
         else:
             snr_db = jnp.full((img.shape[0],), cfg.channel.snr_db, jnp.float32)
-        occ = occupancy_target(pts, mask, lid.bev_hw, lid.x_range,
-                               lid.y_range)
+        if semantic:
+            target = semantic_bev_target(pts, mask, cls, lid.bev_hw,
+                                         lid.x_range, lid.y_range,
+                                         num_classes=lid.seg_classes)
+        else:
+            target = occupancy_target(pts, mask, lid.bev_hw, lid.x_range,
+                                      lid.y_range)
 
         def loss_fn(params):
             recon, logits = model.apply({"params": params}, img, pts, mask,
                                         snr_db, kch)
             cam_loss = jnp.mean(jnp.square(recon - img))
-            l = logits[..., 0]
-            bce = jnp.mean(jnp.maximum(l, 0) - l * occ
-                           + jnp.log1p(jnp.exp(-jnp.abs(l))))
-            return cam_loss + 0.5 * bce, (recon, logits, cam_loss, bce)
+            if semantic:
+                lid_loss = jnp.mean(
+                    optax.softmax_cross_entropy_with_integer_labels(
+                        logits, target))
+            else:
+                l = logits[..., 0]
+                occ = target
+                lid_loss = jnp.mean(jnp.maximum(l, 0) - l * occ
+                                    + jnp.log1p(jnp.exp(-jnp.abs(l))))
+            return cam_loss + 0.5 * lid_loss, (recon, logits, cam_loss,
+                                               lid_loss)
 
-        (loss, (recon, logits, cam_loss, bce)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        (loss, (recon, logits, cam_loss, lid_loss)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads=grads)
-        pred = (logits[..., 0] > 0).astype(jnp.int32)
+        if semantic:
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            m = miou(pred, target, lid.seg_classes)
+        else:
+            pred = (logits[..., 0] > 0).astype(jnp.int32)
+            m = miou(pred, target.astype(jnp.int32), 2)
         metrics = {
-            "loss": loss, "cam_loss": cam_loss, "lidar_bce": bce,
+            "loss": loss, "cam_loss": cam_loss, "lidar_loss": lid_loss,
             "psnr": psnr(recon, img),
-            "miou": miou(pred, occ.astype(jnp.int32), 2),
+            "miou": m,
         }
         return state, metrics
 
@@ -141,7 +164,7 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
     train_step = make_train_step(cfg)
 
     data = ImageDataset(cfg.train.dataset, cfg.train.batch_size,
-                        seed=cfg.train.seed)
+                        seed=cfg.train.seed, data_root=cfg.train.data_root)
     writer = MetricsWriter(metrics_path, config_json=cfg.to_json())
     watchdog = NaNWatchdog()
     ckpt_mgr = None
@@ -165,11 +188,11 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
         for step in range(start_step, cfg.train.steps):
             img = jnp.asarray(next(data))
             kd = jax.random.fold_in(jax.random.key(cfg.train.seed + 1), step)
-            pts, mask = synthetic_pointcloud_batch(
+            pts, mask, cls = synthetic_pointcloud_batch(
                 kd, cfg.train.batch_size, cfg.lidar.max_points,
-                cfg.lidar.x_range, cfg.lidar.y_range)
+                cfg.lidar.x_range, cfg.lidar.y_range, with_classes=True)
             sk = jax.random.fold_in(root_key, step)
-            state, metrics = train_step(state, img, pts, mask, sk)
+            state, metrics = train_step(state, img, pts, mask, cls, sk)
             last = metrics
             if (step + 1) % cfg.train.log_every == 0:
                 writer.write(step + 1, metrics)

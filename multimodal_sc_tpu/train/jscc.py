@@ -23,6 +23,7 @@ from multimodal_sc_tpu.evaluation.metrics import psnr
 from multimodal_sc_tpu.obs.profiling import NaNWatchdog, maybe_trace
 from multimodal_sc_tpu.obs.metrics_writer import MetricsWriter, Timer
 from multimodal_sc_tpu.runtime import mesh as mesh_lib
+from multimodal_sc_tpu.runtime.prefetch import prefetch_to_device
 
 Array = jax.Array
 
@@ -90,7 +91,7 @@ def _sample_snr(cfg: ExperimentConfig, key: Array, batch: int) -> Array:
 
 def reconstruct(
     params, model, img: Array, snr_db: Array, key: Array,
-    kind: str, normalize: bool = True,
+    kind: str, normalize: bool = True, modulation: int = 0,
 ) -> Tuple[Array, Array]:
     """encode -> channel -> decode; returns (recon, symbols).
 
@@ -98,7 +99,8 @@ def reconstruct(
     """
     from multimodal_sc_tpu import api
 
-    return api.reconstruct(model, params, img, snr_db, key, kind, normalize)
+    return api.reconstruct(model, params, img, snr_db, key, kind, normalize,
+                           modulation)
 
 
 def make_train_step(cfg: ExperimentConfig, model):
@@ -141,13 +143,15 @@ def make_train_step(cfg: ExperimentConfig, model):
 
 
 def make_eval_step(cfg: ExperimentConfig, model):
+    """Jitted PSNR eval step at the config's deployed channel mode."""
     kind = cfg.channel.kind
     normalize = cfg.channel.normalize
+    modulation = cfg.channel.modulation
 
     @functools.partial(jax.jit, static_argnames=("eval_kind",))
     def eval_step(params, img, snr_db, key, eval_kind=kind):
         recon, _ = reconstruct(params, model, img, snr_db, key, eval_kind,
-                               normalize)
+                               normalize, modulation)
         return psnr(recon, img)
 
     return eval_step
@@ -165,7 +169,8 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
 
     with_seg = cfg.camera.seg_classes > 0 and cfg.camera.arch == "cnn"
     data = ImageDataset(cfg.train.dataset, cfg.train.batch_size,
-                        seed=cfg.train.seed, with_seg=with_seg)
+                        seed=cfg.train.seed, with_seg=with_seg,
+                        data_root=cfg.train.data_root)
     writer = MetricsWriter(metrics_path, config_json=cfg.to_json())
     watchdog = NaNWatchdog()
     last = {}
@@ -184,24 +189,39 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
     # the global step index, so a restored run replays the exact same
     # stream as an uninterrupted one (kill-and-resume test, SURVEY §5.3).
     data._step = start_step
+    # Double-buffered host->device transfer: batch N+1 moves (with `data`
+    # sharding) while batch N trains (runtime/prefetch.py). Matters most for
+    # the real CIFAR/KITTI file banks, free for the synthetic generators.
+    batches = prefetch_to_device(data, size=2, mesh=dev_mesh)
+    # Held-out eval stream + jitted eval step at the deployed channel mode.
+    eval_step = make_eval_step(cfg, model)
+    eval_img = jnp.asarray(next(ImageDataset(
+        cfg.train.dataset, cfg.train.batch_size, seed=cfg.train.seed + 999,
+        data_root=cfg.train.data_root)))
+    eval_snr = jnp.full((eval_img.shape[0],), cfg.channel.snr_db, jnp.float32)
     # Distinct stream from the dataset's fold_in(key(seed), step) — a raw
     # key(seed) here would make channel/SNR draws correlate with image
     # content (same bits every step).
     root_key = jax.random.fold_in(jax.random.key(cfg.train.seed), 0x5EED)
+    eval_key = jax.random.fold_in(root_key, 0xE7A1)
     with maybe_trace(cfg.train.profile_dir), Timer() as t:
         for step in range(start_step, cfg.train.steps):
-            batch = next(data)
+            batch = next(batches)
             if with_seg:
-                img, seg = (mesh_lib.shard_batch(dev_mesh, b) for b in batch)
+                img, seg = batch
             else:
-                img = mesh_lib.shard_batch(dev_mesh, batch)
-                seg = None
+                img, seg = batch, None
             sk = jax.random.fold_in(root_key, step)
             state, metrics = train_step(state, img, seg, sk)
             last = metrics
             if (step + 1) % cfg.train.log_every == 0:
                 writer.write(step + 1, metrics)
                 watchdog.check(step + 1, metrics)
+            if (step + 1) % cfg.train.eval_every == 0:
+                ep = eval_step(state.params, eval_img, eval_snr,
+                               jax.random.fold_in(eval_key, step))
+                last = {**metrics, "eval_psnr": ep}
+                writer.write(step + 1, {"eval_psnr": ep})
             if ckpt_mgr and (step + 1) % cfg.train.checkpoint_every == 0:
                 ckpt_mgr.save(step + 1, state)
     jax.block_until_ready(last)

@@ -22,10 +22,16 @@ from multimodal_sc_tpu.obs.metrics_writer import (
 from multimodal_sc_tpu.rl import ppo as ppo_lib
 
 
-def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
+def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None,
+        init_from: Optional[str] = None):
     key = jax.random.key(cfg.train.seed)
     key, k_init = jax.random.split(key)
     state = ppo_lib.init(cfg, k_init)
+    if init_from:
+        from multimodal_sc_tpu.rl.warmstart import load_jscc_into_perception
+
+        state = state._replace(params=load_jscc_into_perception(
+            cfg, state.params, init_from))
     # Shard envs/accumulators over the device mesh (degrades to 1 chip).
     from multimodal_sc_tpu.runtime import mesh as mesh_lib
 

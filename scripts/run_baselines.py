@@ -17,7 +17,9 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "results"
 RUNS = [
     # (name, args)
     ("c1", ["train", "--config", "c1",
-            "--set", "train.steps=2000", "--set", "train.log_every=200"]),
+            "--set", "train.steps=2000", "--set", "train.log_every=200",
+            "--set", f"train.checkpoint_dir={OUT}/ckpt_c1",
+            "--set", "train.checkpoint_every=1000"]),
     ("c2", ["train", "--config", "c2",
             "--set", "train.steps=3000", "--set", "train.log_every=200",
             "--set", f"train.checkpoint_dir={OUT}/ckpt_c2",
@@ -26,15 +28,31 @@ RUNS = [
                   "--set", f"train.checkpoint_dir={OUT}/ckpt_c2",
                   "--out", f"{OUT}/c2_curves.json"]),
     ("c3", ["train", "--config", "c3",
-            "--set", "train.steps=800", "--set", "train.log_every=100",
+            "--set", "train.steps=2500", "--set", "train.log_every=250",
             "--set", "train.batch_size=32"]),
+    # c4: preset defaults are the r2 tuning (64 envs, n_step=3, eps 3000).
     ("c4", ["train", "--config", "c4",
-            "--set", "train.steps=1500", "--set", "train.log_every=250",
-            "--set", "rl.eps_decay_steps=1000",
-            "--set", "rl.batch_size=64"]),
+            "--set", "train.steps=5000", "--set", "train.log_every=500",
+            "--set", f"train.checkpoint_dir={OUT}/ckpt_c4",
+            "--set", "train.checkpoint_every=5000"]),
+    ("c4_eval", ["eval-policy", "--config", "c4", "--episodes", "64",
+                 "--set", f"train.checkpoint_dir={OUT}/ckpt_c4"]),
+    # JSCC warm-start A/B (VERDICT r1 item 5): same budget, trunk seeded
+    # from the c1 camera codec checkpoint.
+    ("c4_warm", ["train", "--config", "c4", "--init-from", f"{OUT}/ckpt_c1",
+                 "--set", "train.steps=5000", "--set", "train.log_every=500",
+                 "--set", f"train.checkpoint_dir={OUT}/ckpt_c4w",
+                 "--set", "train.checkpoint_every=5000"]),
+    ("c4_warm_eval", ["eval-policy", "--config", "c4", "--episodes", "64",
+                      "--set", f"train.checkpoint_dir={OUT}/ckpt_c4w"]),
     ("c5", ["train", "--config", "c5",
             "--set", "train.steps=60", "--set", "train.log_every=10",
-            "--set", "rl.num_envs=64"]),
+            "--set", "rl.num_envs=64",
+            "--set", f"train.checkpoint_dir={OUT}/ckpt_c5",
+            "--set", "train.checkpoint_every=60"]),
+    ("c5_eval", ["eval-policy", "--config", "c5", "--episodes", "64",
+                 "--set", "rl.num_envs=64",
+                 "--set", f"train.checkpoint_dir={OUT}/ckpt_c5"]),
 ]
 
 

@@ -60,7 +60,11 @@ def test_dqn_state_checkpoint_roundtrip(tmp_path, key):
 
 @pytest.mark.slow
 def test_dqn_driver_resume_no_step_collision(tmp_path, key):
-    """Driver resumes at the restored iteration (no StepAlreadyExists)."""
+    """Driver resumes at the restored iteration (no StepAlreadyExists).
+
+    On the 8-virtual-device test backend this exercises the SPMD driver
+    path (train/dqn.py routes to rl/dqn_sharded when data shards > 1),
+    including sharded-state checkpoint save/restore."""
     from multimodal_sc_tpu.train import dqn as dqn_train
 
     cfg = _tiny().override_str([
@@ -68,9 +72,9 @@ def test_dqn_driver_resume_no_step_collision(tmp_path, key):
         "train.checkpoint_every=2",
         f"train.checkpoint_dir={tmp_path}/d",
     ])
-    dqn_train.run(cfg, num_envs=4)          # saves steps 2, 4
+    dqn_train.run(cfg, num_envs=8)          # saves steps 2, 4
     cfg2 = cfg.override_str(["train.steps=6"])
-    state, _ = dqn_train.run(cfg2, num_envs=4)   # resumes at 4, runs 2 more
+    state, _ = dqn_train.run(cfg2, num_envs=8)   # resumes at 4, runs 2 more
     from multimodal_sc_tpu.io.checkpoint import CheckpointManager
 
     mgr = CheckpointManager(f"{tmp_path}/d")

@@ -43,7 +43,8 @@ def test_dqn_iteration_runs_and_learns_shape(key):
         state, metrics = it(state)
     m = jax.device_get(metrics)
     assert np.isfinite(m["loss"])
-    assert m["buffer_size"] == 20 * 4
+    # The n-step window swallows the first n-1 iterations (rl/nstep.py).
+    assert m["buffer_size"] == (20 - (cfg.rl.n_step - 1)) * 4
     # After warmup (16 samples), gradient steps happened.
     assert int(jax.device_get(state.step)) > 0
 

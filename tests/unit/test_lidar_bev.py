@@ -68,6 +68,36 @@ def test_codec_roundtrip_and_grads(key):
     assert np.isfinite(total) and total > 0
 
 
+def test_semantic_bev_target(key):
+    from multimodal_sc_tpu.codec.lidar_bev import semantic_bev_target
+    from multimodal_sc_tpu.envs.datasets import BEV_CLASSES
+
+    pts, mask, cls = synthetic_pointcloud_batch(key, 2, 1024, XR, YR,
+                                                with_classes=True)
+    tgt = semantic_bev_target(pts, mask, cls, (32, 32), XR, YR,
+                              num_classes=BEV_CLASSES)
+    assert tgt.shape == (2, 32, 32)
+    present = set(np.unique(np.asarray(tgt)))
+    assert present <= set(range(BEV_CLASSES))
+    # All three semantic classes (+ possibly empty) appear somewhere.
+    assert {1, 2}.issubset(present)
+    # Deterministic under the same key.
+    tgt2 = semantic_bev_target(*synthetic_pointcloud_batch(
+        key, 2, 1024, XR, YR, with_classes=True), (32, 32), XR, YR,
+        num_classes=BEV_CLASSES)
+    np.testing.assert_array_equal(np.asarray(tgt), np.asarray(tgt2))
+
+
+def test_semantic_codec_decode_shape(key):
+    model = LidarBEVCodec(bev_hw=(32, 32), seg_classes=4, x_range=XR,
+                          y_range=YR)
+    pts, mask = synthetic_pointcloud_batch(key, 2, 256, XR, YR)
+    params = model.init(key, (pts, mask))["params"]
+    z = model.apply({"params": params}, (pts, mask), method="encode")
+    logits = model.apply({"params": params}, z, method="decode")
+    assert logits.shape == (2, 32, 32, 4)
+
+
 def test_tokens_shape(key):
     model = LidarBEVCodec(bev_hw=BEV, x_range=XR, y_range=YR)
     pts, mask = synthetic_pointcloud_batch(key, 2, 128, XR, YR)

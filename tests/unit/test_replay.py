@@ -33,11 +33,27 @@ def test_wraparound():
     assert got == [2, 3, 4, 5]
 
 
-def test_add_batch_wraparound():
+def test_add_batch_larger_than_capacity_is_an_error():
+    """b > capacity would scatter duplicate indices (order-undefined in
+    XLA) and over-count size; add_batch rejects it at trace time
+    (ADVICE r1)."""
+    import pytest
+
     buf = replay.create(_example(), capacity=4)
     batch = {"x": jnp.arange(18, dtype=jnp.float32).reshape(6, 3),
              "a": jnp.arange(6, dtype=jnp.int32)}
-    buf = replay.add_batch(buf, batch)
+    with pytest.raises(ValueError, match="exceeds capacity"):
+        replay.add_batch(buf, batch)
+
+
+def test_add_batch_wraparound_within_capacity():
+    buf = replay.create(_example(), capacity=4)
+    first = {"x": jnp.zeros((3, 3), jnp.float32),
+             "a": jnp.arange(3, dtype=jnp.int32)}
+    buf = replay.add_batch(buf, first)           # cursor 3, holds 0,1,2
+    second = {"x": jnp.ones((3, 3), jnp.float32),
+              "a": jnp.arange(3, 6, dtype=jnp.int32)}
+    buf = replay.add_batch(buf, second)          # wraps: slots 3,0,1
     assert int(buf.size) == 4
     assert int(buf.cursor) == 2
     got = sorted(int(v) for v in np.asarray(buf.data["a"]))
