@@ -21,6 +21,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_sc_tpu.kernels.attention import attention
+from multimodal_sc_tpu.kernels.attention_packed import (
+    packed_attention,
+    packed_eligible,
+)
 
 Array = jax.Array
 
@@ -39,10 +43,20 @@ class MHA(nn.Module):
         q = nn.DenseGeneral((self.heads, hd), dtype=self.dtype, name="q")(x_q)
         k = nn.DenseGeneral((self.heads, hd), dtype=self.dtype, name="k")(x_kv)
         v = nn.DenseGeneral((self.heads, hd), dtype=self.dtype, name="v")(x_kv)
-        # (B, L, H, D) -> (B, H, L, D)
-        q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
-        o = attention(q, k, v, use_pallas=self.use_pallas)
-        o = o.transpose(0, 2, 1, 3)
+        if self.use_pallas and packed_eligible(self.heads, hd, k.shape[1]):
+            # Packed-head kernel: heads stay in the lane dim, so the
+            # (B,L,H,d) output reshapes for free — no transposes at all.
+            b, lq = q.shape[:2]
+            lk = k.shape[1]
+            o = packed_attention(q.reshape(b, lq, self.dim),
+                                 k.reshape(b, lk, self.dim),
+                                 v.reshape(b, lk, self.dim), self.heads)
+            o = o.reshape(b, lq, self.heads, hd)
+        else:
+            # (B, L, H, D) -> (B, H, L, D)
+            q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+            o = attention(q, k, v, use_pallas=self.use_pallas)
+            o = o.transpose(0, 2, 1, 3)
         return nn.DenseGeneral(self.dim, axis=(-2, -1), dtype=self.dtype,
                                name="o")(o)
 

@@ -169,8 +169,11 @@ class ExperimentConfig:
     train: TrainConfig = field(default_factory=TrainConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     use_pallas: bool = False      # all fused Pallas kernels (conv+attn+scatter)
-    pallas_attention: bool = False  # just the flash-attention kernel (faster
-                                    # than XLA on v5e; convs stay on XLA)
+    pallas_attention: bool = False  # attention kernels only (packed-head
+    # kernel at flagship shapes, generic flash otherwise). Off by default:
+    # the packed kernel wins isolated but the pallas_call boundary breaks
+    # XLA fusion in the small fused production graphs (r2 A/B: act 0.90x,
+    # act+learn 0.95x, ppo 0.99x, c3 vit ~1.0x — BASELINE.md).
 
     def override(self, **dotted: Any) -> "ExperimentConfig":
         cfg = self

@@ -51,7 +51,8 @@ class LateFusionJSCC(nn.Module):
                 image_hw=cam.image_hw, patch=cam.patch, dim=cam.dim,
                 depth=cam.depth, heads=cam.heads, c_sym=cam.c_sym,
                 snr_conditioning=cam.snr_conditioning,
-                use_pallas=self.cfg.use_pallas, dtype=dtype)
+                use_pallas=self.cfg.use_pallas or self.cfg.pallas_attention,
+                dtype=dtype)
         else:
             self.camera = CameraJSCC(
                 features=cam.features, c_sym=cam.c_sym, image_hw=cam.image_hw,

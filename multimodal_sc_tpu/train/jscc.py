@@ -57,7 +57,9 @@ def build_model(cfg: ExperimentConfig):
             c_sym=cfg.camera.c_sym,
             snr_conditioning=cfg.camera.snr_conditioning,
             dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
-            use_pallas=cfg.use_pallas,
+            # pallas_attention reaches the ViT's MHA (attention-only flag,
+            # same dispatch as the RL perception trunk).
+            use_pallas=cfg.use_pallas or cfg.pallas_attention,
         )
     raise ValueError(f"unknown camera arch {cfg.camera.arch!r}")
 

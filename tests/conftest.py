@@ -13,9 +13,14 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The CI box has ONE cpu core; XLA:CPU compile time dominates the suite
+# (~33% of wall). Opt level 0 trades negligible runtime on test-sized
+# shapes for much faster compiles; numerics are unaffected (precision is
+# pinned separately below). Export XLA_FLAGS yourself to override.
+if "xla_backend_optimization_level" not in flags:
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

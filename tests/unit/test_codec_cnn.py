@@ -3,13 +3,17 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodal_sc_tpu.channel import channel
 from multimodal_sc_tpu.codec.camera_cnn import CameraJSCC
 
 
 def _init(key, snr_cond=False, hw=(32, 32)):
-    model = CameraJSCC(image_hw=hw, snr_conditioning=snr_cond)
+    # Narrow features: k/shape semantics don't depend on widths, and the
+    # suite runs on one CPU core where compile time is the budget.
+    model = CameraJSCC(features=(8, 16, 16, 16), image_hw=hw,
+                       snr_conditioning=snr_cond)
     img = jnp.zeros((2, hw[0], hw[1], 3))
     snr = jnp.full((2,), 10.0)
     params = model.init(key, img, snr)["params"]
@@ -34,6 +38,7 @@ def test_roundtrip_shape(key):
     assert float(rec.min()) >= 0.0 and float(rec.max()) <= 1.0
 
 
+@pytest.mark.slow  # covered fast by test_perception's end-to-end grad test
 def test_end_to_end_gradients_flow(key):
     model, params = _init(key)
     img = jax.random.uniform(key, (2, 32, 32, 3))

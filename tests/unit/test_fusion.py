@@ -34,7 +34,7 @@ def test_cross_attention_uses_both_modalities(key):
 
 
 def test_fusion_gradients(key):
-    model = FusionTransformer(dim=32, depth=2, heads=2, state_dim=16)
+    model = FusionTransformer(dim=32, depth=1, heads=2, state_dim=16)
     cam = jax.random.normal(key, (2, 10, 24))
     lid = jax.random.normal(jax.random.fold_in(key, 1), (2, 7, 40))
     params = model.init(key, cam, lid)["params"]

@@ -9,6 +9,7 @@ integration tests (tests/integration/conftest.py).
 
 import jax
 import numpy as np
+import pytest
 
 import multimodal_sc_tpu as msc
 from multimodal_sc_tpu.rl import dqn as dqn_lib
@@ -25,6 +26,7 @@ def _tiny():
     ])
 
 
+@pytest.mark.slow  # checking_leaks makes tracing ~60x slower; slow gate only
 def test_fused_iteration_has_no_tracer_leaks(key):
     cfg = _tiny()
     with jax.checking_leaks():
