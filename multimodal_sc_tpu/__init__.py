@@ -70,7 +70,9 @@ def make_train_step(cfg, *args, **kw):
     """The jitted train_step for cfg's task (BASELINE.json:5 verb).
 
     jscc: make_train_step(cfg, model) -> step(state, img, seg, key);
-    jscc_fusion: step(state, img, pts, mask, key);
+    jscc_fusion: step(state, img, pts, mask, cls, key) — cls is the
+    per-point class array (semantic BEV target; pass zeros when
+    lidar.seg_classes <= 1);
     dqn: the fused actor+learner iteration(state);
     ppo: the rollout+GAE+update train_step(state).
     """

@@ -41,6 +41,10 @@ def main(argv=None) -> int:
     pe.add_argument("--set", action="append", default=[], dest="overrides")
     pe.add_argument("--episodes", type=int, default=32)
     pe.add_argument("--seed", type=int, default=0)
+    pe.add_argument("--sample", action="store_true",
+                    help="PPO: sample the policy instead of argmax (the "
+                         "training-time behavior; argmax of a high-entropy "
+                         "policy can be degenerate)")
 
     args = p.parse_args(argv)
 
@@ -86,36 +90,40 @@ def main(argv=None) -> int:
         from multimodal_sc_tpu.evaluation import policy_eval
 
         key = jax.random.key(args.seed)
+
+        def _restore_params(fresh_params):
+            # Params-only raw restore: evaluation never needs the replay
+            # buffer / env states, and reading just `params` also works for
+            # BOTH unsharded DQNState and ShardedDQNState checkpoints
+            # (train/dqn.run auto-shards on multi-device hosts) without
+            # materializing multi-GB training arrays (ADVICE r1 + r2
+            # review). Orbax raw restore yields NamedTuples as dicts keyed
+            # by field name (or positionally as a list).
+            if not cfg.train.checkpoint_dir:
+                return fresh_params
+            from multimodal_sc_tpu.io.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(cfg.train.checkpoint_dir)
+            raw = mgr.restore_raw_latest()
+            mgr.close()
+            if raw is None:
+                return fresh_params
+            return raw["params"] if isinstance(raw, dict) else raw[0]
+
         if cfg.train.task == "dqn" or cfg.rl.algo == "dqn":
             from multimodal_sc_tpu.rl import dqn as dqn_lib
 
-            # Init with the TRAINING env count (cfg.rl.num_envs) so orbax
-            # shape-checking restore matches the saved env/replay arrays;
-            # only the params are needed for evaluation (ADVICE r1). The
-            # eval episode count is independent (--episodes).
-            state = dqn_lib.init(cfg, key, num_envs=cfg.rl.num_envs)
-            if cfg.train.checkpoint_dir:
-                from multimodal_sc_tpu.io.checkpoint import CheckpointManager
-
-                mgr = CheckpointManager(cfg.train.checkpoint_dir)
-                restored = mgr.restore_latest(state)
-                if restored is not None:
-                    state = dqn_lib.DQNState(*restored)
-            out = policy_eval.evaluate_dqn(cfg, state.params, key,
+            params = _restore_params(
+                dqn_lib.init_params(cfg, key))
+            out = policy_eval.evaluate_dqn(cfg, params, key,
                                            num_envs=args.episodes)
         else:
             from multimodal_sc_tpu.rl import ppo as ppo_lib
 
-            state = ppo_lib.init(cfg, key)
-            if cfg.train.checkpoint_dir:
-                from multimodal_sc_tpu.io.checkpoint import CheckpointManager
-
-                mgr = CheckpointManager(cfg.train.checkpoint_dir)
-                restored = mgr.restore_latest(state)
-                if restored is not None:
-                    state = ppo_lib.PPOState(*restored)
-            out = policy_eval.evaluate_ppo(cfg, state.params, key,
-                                           num_envs=args.episodes)
+            params = _restore_params(ppo_lib.init_params(cfg, key))
+            out = policy_eval.evaluate_ppo(cfg, params, key,
+                                           num_envs=args.episodes,
+                                           greedy=not args.sample)
         print(json.dumps(out))
         return 0
 

@@ -156,7 +156,11 @@ class ImageDataset:
     }
 
     def __init__(self, name: str, batch_size: int, seed: int = 0,
-                 data_root: str = "data", with_seg: bool = False):
+                 data_root: str = "data", with_seg: bool = False,
+                 real_bank: Optional[np.ndarray] = None):
+        """`real_bank` reuses an already-loaded image bank (e.g. the train
+        dataset's) instead of re-reading/decoding the files from disk —
+        the real CIFAR/KITTI banks are hundreds of MB."""
         if name not in self.SHAPES:
             raise KeyError(f"unknown dataset {name!r}")
         self.name = name
@@ -164,10 +168,10 @@ class ImageDataset:
         self.batch_size = batch_size
         self.seed = seed
         self.with_seg = with_seg
-        self._real: Optional[np.ndarray] = None
-        if name == "cifar":
+        self._real: Optional[np.ndarray] = real_bank
+        if real_bank is None and name == "cifar":
             self._real = _try_load_cifar(data_root)
-        elif name == "kitti":
+        elif real_bank is None and name == "kitti":
             self._real = _try_load_kitti_crops(data_root, self.hw)
         if self._real is not None and with_seg:
             # Seg labels only exist for the synthetic generator; a seg-head

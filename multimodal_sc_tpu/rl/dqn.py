@@ -68,6 +68,16 @@ def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
     )
 
 
+def init_params(cfg: ExperimentConfig, key: Array):
+    """Q-network params alone (e.g. as a raw-restore target for eval) —
+    no env states, replay buffer, or n-step window allocated."""
+    k_env, k_par = jax.random.split(key)
+    env_states = driving.reset_batch(cfg.env, k_env, 1)
+    img, pts, mask = driving.observe_batch(cfg.env, env_states)
+    return QNetwork(cfg).init(k_par, img, pts, mask,
+                              jax.random.key(0))["params"]
+
+
 def init(cfg: ExperimentConfig, key: Array, num_envs: int) -> DQNState:
     k_env, k_par, k_state = jax.random.split(key, 3)
     env_states = driving.reset_batch(cfg.env, k_env, num_envs)

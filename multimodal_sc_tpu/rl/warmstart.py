@@ -35,20 +35,16 @@ def _leaf_paths(tree: Any) -> Dict[Tuple, Any]:
 
 def _shape_checked_copy(dst: Any, src: Any) -> Tuple[bool, Any]:
     """Return (ok, dst-with-src-values). ok=False on any key/shape mismatch."""
-    d = _leaf_paths(dst)
-    s = _leaf_paths(src)
-    if set(d) != set(s):
+    flat_dst, treedef = jax.tree_util.tree_flatten_with_path(dst)
+    src_by_path = _leaf_paths(src)
+    d_paths = {tuple(str(k) for k in p) for p, _ in flat_dst}
+    if d_paths != set(src_by_path):
         return False, dst
-    for k in d:
-        if tuple(jnp.shape(d[k])) != tuple(jnp.shape(s[k])):
-            return False, dst
-    leaves, treedef = jax.tree_util.tree_flatten(dst)
-    flat_src, _ = jax.tree_util.tree_flatten_with_path(src)
-    src_by_path = {tuple(str(kk) for kk in p): v for p, v in flat_src}
-    flat_dst, _ = jax.tree_util.tree_flatten_with_path(dst)
     new_leaves = []
-    for (path, leaf) in flat_dst:
-        v = src_by_path[tuple(str(kk) for kk in path)]
+    for path, leaf in flat_dst:
+        v = src_by_path[tuple(str(k) for k in path)]
+        if tuple(jnp.shape(leaf)) != tuple(jnp.shape(v)):
+            return False, dst
         v = jnp.asarray(v, dtype=jnp.asarray(leaf).dtype)
         if hasattr(leaf, "sharding"):
             v = jax.device_put(v, leaf.sharding)

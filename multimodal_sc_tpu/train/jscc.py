@@ -199,7 +199,7 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
     eval_step = make_eval_step(cfg, model)
     eval_img = jnp.asarray(next(ImageDataset(
         cfg.train.dataset, cfg.train.batch_size, seed=cfg.train.seed + 999,
-        data_root=cfg.train.data_root)))
+        data_root=cfg.train.data_root, real_bank=data._real)))
     eval_snr = jnp.full((eval_img.shape[0],), cfg.channel.snr_db, jnp.float32)
     # Distinct stream from the dataset's fold_in(key(seed), step) — a raw
     # key(seed) here would make channel/SNR draws correlate with image

@@ -67,6 +67,15 @@ def main() -> None:
         proc = subprocess.run(
             [sys.executable, "-m", "multimodal_sc_tpu.cli", *args],
             capture_output=True, text=True)
+        if proc.returncode != 0 and "FAILED_PRECONDITION" in proc.stderr:
+            # The axon tunnel intermittently throws 'TPU backend error
+            # (FailedPrecondition)' mid-run (~2/11 long runs, r2); one
+            # retry has always succeeded.
+            print(f"=== {name}: transient TPU FailedPrecondition, "
+                  "retrying once ===", flush=True)
+            proc = subprocess.run(
+                [sys.executable, "-m", "multimodal_sc_tpu.cli", *args],
+                capture_output=True, text=True)
         wall = time.time() - t0
         out = proc.stdout.strip().splitlines()
         last_json = None

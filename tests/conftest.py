@@ -31,6 +31,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_debug_nans", False)  # individual tests opt in
+
+# Persistent XLA:CPU compilation cache: compile time dominates the suite on
+# this 1-core box (top tests are 20-70s of compile, <1s of compute), and
+# XLA:CPU AOT results cache fine across runs. First run pays full compile;
+# repeat runs (the "must stay green" gate) land well under the 10-minute
+# budget. Delete .jax_cache_tests/ or set JAX_TEST_NO_CACHE=1 to disable.
+if not os.environ.get("JAX_TEST_NO_CACHE"):
+    _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "..", ".jax_cache_tests")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 # Default matmul precision is bf16-like even on CPU in jax 0.9; pin to
 # highest so kernel-vs-XLA-twin comparisons are meaningful (production code
 # keeps the fast default on TPU).
