@@ -120,6 +120,9 @@ class RLConfig:
     eps_decay_steps: int = 20000
     double_dqn: bool = True
     n_step: int = 1               # n-step returns (rl/nstep.py); 1 = vanilla
+    replay_quantize: bool = True  # store replay images as uint8 (4x fewer
+    # HBM bytes + 4x replay memory; images are rendered in [0,1], so the
+    # 1/255 step is far below sensor noise — the standard DQN frame store)
     # PPO
     rollout_length: int = 64
     num_envs: int = 32

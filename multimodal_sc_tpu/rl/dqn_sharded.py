@@ -28,7 +28,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from multimodal_sc_tpu.config.configs import ExperimentConfig
 from multimodal_sc_tpu.envs import driving
 from multimodal_sc_tpu.rl import nstep, replay
-from multimodal_sc_tpu.rl.dqn import Transition, _epsilon, _td_loss, act
+from multimodal_sc_tpu.rl.dqn import (Transition, _epsilon, _td_loss,
+                                      act, dequantize_obs, quantize_image,
+                                      quantize_obs)
 from multimodal_sc_tpu.rl.dqn import make_optimizer
 from multimodal_sc_tpu.rl.perception import QNetwork
 from multimodal_sc_tpu.runtime.mesh import DATA_AXIS
@@ -64,17 +66,20 @@ def init(cfg: ExperimentConfig, key: Array, mesh,
         "params"]
     opt_state = make_optimizer(cfg).init(params)
 
-    example = Transition(
+    # quantize_obs sets the stored image dtype (uint8 when
+    # rl.replay_quantize), matching the unsharded twin.
+    example = quantize_obs(cfg, Transition(
         image=img[0], points=pts[0], mask=mask[0],
         action=jnp.int32(0), reward=jnp.float32(0), done=jnp.bool_(False),
         next_image=img[0], next_points=pts[0], next_mask=mask[0],
-    )
+    ))
     one_buf = replay.create(example, cfg.rl.replay_capacity)
     buffer_data = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (n_shards,) + x.shape).copy(),
         one_buf.data)
     one_window = nstep.create(
-        {"image": img[:envs_per_shard], "points": pts[:envs_per_shard],
+        {"image": quantize_image(cfg, img[:envs_per_shard]),
+         "points": pts[:envs_per_shard],
          "mask": mask[:envs_per_shard],
          "action": jnp.zeros((envs_per_shard,), jnp.int32)},
         cfg.rl.n_step, envs_per_shard)
@@ -136,13 +141,14 @@ def make_iteration(cfg: ExperimentConfig, mesh):
         # Same n-step window logic as the unsharded twin (rl/dqn.py).
         win, oldest, n_ret, n_done, valid = nstep.push(
             win,
-            {"image": img, "points": pts, "mask": mask, "action": actions},
+            {"image": quantize_image(cfg, img), "points": pts,
+             "mask": mask, "action": actions},
             ts.reward, ts.done, cfg.rl.gamma)
-        trans = Transition(
+        trans = quantize_obs(cfg, Transition(
             image=oldest["image"], points=oldest["points"],
             mask=oldest["mask"], action=oldest["action"],
             reward=n_ret, done=n_done,
-            next_image=ts.image, next_points=ts.points, next_mask=ts.mask)
+            next_image=ts.image, next_points=ts.points, next_mask=ts.mask))
         new_buf = replay.add_batch(buf, trans)
         buf = new_buf._replace(
             cursor=jnp.where(valid, new_buf.cursor, buf.cursor),
@@ -150,7 +156,8 @@ def make_iteration(cfg: ExperimentConfig, mesh):
 
         def do_learn(args):
             params, target_params, opt_state, step = args
-            batch = replay.sample(buf, k_sample, cfg.rl.batch_size)
+            batch = dequantize_obs(
+                cfg, replay.sample(buf, k_sample, cfg.rl.batch_size))
             loss, grads = jax.value_and_grad(
                 lambda p: _td_loss(p, target_params, batch, k_loss, cfg))(
                 params)

