@@ -133,6 +133,69 @@ def main(argv=None) -> int:
         from multimodal_sc_tpu.train import jscc
 
         key = jax.random.key(cfg.train.seed)
+
+        if cfg.train.task == "jscc_fusion":
+            # Late-fusion (c3) sweep: camera PSNR + semantic-BEV mIoU
+            # curves from the two codec sub-trees of the fusion checkpoint.
+            from multimodal_sc_tpu.codec.lidar_bev import (
+                LidarBEVCodec,
+                occupancy_target,
+                semantic_bev_target,
+            )
+            from multimodal_sc_tpu.envs.datasets import (
+                synthetic_pointcloud_batch,
+            )
+            from multimodal_sc_tpu.train import fusion_jscc
+
+            state = fusion_jscc.create_train_state(cfg, key)
+            if cfg.train.checkpoint_dir:
+                from multimodal_sc_tpu.io.checkpoint import CheckpointManager
+
+                mgr = CheckpointManager(cfg.train.checkpoint_dir)
+                restored = mgr.restore_latest(state)
+                if restored is not None:
+                    state = restored
+                    print(f"restored step {mgr.latest_step()} from "
+                          f"{cfg.train.checkpoint_dir}", file=sys.stderr)
+            cam_model = jscc.build_model(cfg)
+            lid = cfg.lidar
+            lid_model = LidarBEVCodec(
+                pillar_dim=lid.pillar_dim, bev_hw=lid.bev_hw,
+                c_sym=lid.c_sym, seg_classes=lid.seg_classes,
+                x_range=lid.x_range, y_range=lid.y_range,
+                use_pallas=cfg.use_pallas)
+            data = ImageDataset(cfg.train.dataset, cfg.train.batch_size,
+                                seed=cfg.train.seed + 999,
+                                data_root=cfg.train.data_root)
+            images = jax.numpy.asarray(next(data))
+            pts, mask, cls = synthetic_pointcloud_batch(
+                jax.random.fold_in(key, 0xE7A1), cfg.train.batch_size,
+                lid.max_points, lid.x_range, lid.y_range, with_classes=True)
+            if lid.seg_classes > 1:
+                target = semantic_bev_target(pts, mask, cls, lid.bev_hw,
+                                             lid.x_range, lid.y_range,
+                                             num_classes=lid.seg_classes)
+            else:
+                target = occupancy_target(pts, mask, lid.bev_hw,
+                                          lid.x_range, lid.y_range)
+            cam_curves = snr_sweep.sweep_camera(
+                cam_model, state.params["camera"], images, key,
+                normalize=cfg.channel.normalize,
+                modulation=cfg.channel.modulation)
+            lid_curves = snr_sweep.sweep_lidar(
+                lid_model, state.params["lidar"], pts, mask, target,
+                jax.random.fold_in(key, 0x11DA),
+                normalize=cfg.channel.normalize,
+                modulation=cfg.channel.modulation)
+            print("camera PSNR:")
+            print(snr_sweep.format_table(cam_curves))
+            print("lidar BEV mIoU:")
+            print(snr_sweep.format_table(lid_curves, metric="miou"))
+            if args.out:
+                snr_sweep.save_curves(
+                    {"camera": cam_curves, "lidar": lid_curves}, args.out)
+            return 0
+
         state = jscc.create_train_state(cfg, key)
         if cfg.train.checkpoint_dir:
             from multimodal_sc_tpu.io.checkpoint import CheckpointManager
