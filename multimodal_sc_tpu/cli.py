@@ -92,27 +92,28 @@ def main(argv=None) -> int:
         key = jax.random.key(args.seed)
 
         def _restore_params(fresh_params):
-            # Params-only raw restore: evaluation never needs the replay
-            # buffer / env states, and reading just `params` also works for
-            # BOTH unsharded DQNState and ShardedDQNState checkpoints
-            # (train/dqn.run auto-shards on multi-device hosts) without
-            # materializing multi-GB training arrays (ADVICE r1 + r2
-            # review). Orbax raw restore yields NamedTuples as dicts keyed
-            # by field name (or positionally as a list).
+            # Params-only PARTIAL restore: evaluation never needs the
+            # replay buffer / env states, and reading just the `params`
+            # subtree works for BOTH unsharded DQNState and
+            # ShardedDQNState checkpoints (train/dqn.run auto-shards on
+            # multi-device hosts) without ever materializing the multi-GB
+            # training arrays; shapes are validated against the fresh
+            # params tree (ADVICE r1 + r2 reviews).
             if not cfg.train.checkpoint_dir:
                 return fresh_params
             from multimodal_sc_tpu.io.checkpoint import CheckpointManager
 
             mgr = CheckpointManager(cfg.train.checkpoint_dir)
-            raw = mgr.restore_raw_latest()
+            restored = mgr.restore_params_latest(fresh_params)
             mgr.close()
-            if raw is None:
-                return fresh_params
-            return raw["params"] if isinstance(raw, dict) else raw[0]
+            return fresh_params if restored is None else restored
 
         if cfg.train.task == "dqn" or cfg.rl.algo == "dqn":
             from multimodal_sc_tpu.rl import dqn as dqn_lib
 
+            if args.sample:
+                print("--sample applies to PPO policies only; DQN eval is "
+                      "always greedy (epsilon=0)", file=sys.stderr)
             params = _restore_params(
                 dqn_lib.init_params(cfg, key))
             out = policy_eval.evaluate_dqn(cfg, params, key,
@@ -138,7 +139,6 @@ def main(argv=None) -> int:
             # Late-fusion (c3) sweep: camera PSNR + semantic-BEV mIoU
             # curves from the two codec sub-trees of the fusion checkpoint.
             from multimodal_sc_tpu.codec.lidar_bev import (
-                LidarBEVCodec,
                 occupancy_target,
                 semantic_bev_target,
             )
@@ -157,13 +157,12 @@ def main(argv=None) -> int:
                     state = restored
                     print(f"restored step {mgr.latest_step()} from "
                           f"{cfg.train.checkpoint_dir}", file=sys.stderr)
-            cam_model = jscc.build_model(cfg)
+            # The fusion pipeline's own builders: param trees are
+            # guaranteed to match the checkpoint (the plain-jscc builder
+            # would add a seg head for cnn+seg_classes configs).
+            cam_model = fusion_jscc.build_camera_codec(cfg)
             lid = cfg.lidar
-            lid_model = LidarBEVCodec(
-                pillar_dim=lid.pillar_dim, bev_hw=lid.bev_hw,
-                c_sym=lid.c_sym, seg_classes=lid.seg_classes,
-                x_range=lid.x_range, y_range=lid.y_range,
-                use_pallas=cfg.use_pallas)
+            lid_model = fusion_jscc.build_lidar_codec(cfg)
             data = ImageDataset(cfg.train.dataset, cfg.train.batch_size,
                                 seed=cfg.train.seed + 999,
                                 data_root=cfg.train.data_root)

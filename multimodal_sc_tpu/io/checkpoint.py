@@ -45,6 +45,25 @@ class CheckpointManager:
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
+    def restore_params_latest(self, params_target: Any) -> Optional[Any]:
+        """Restore ONLY the ``params`` subtree of the newest checkpoint.
+
+        Works for any saved state whose top level has a ``params`` field
+        (the TrainState dataclasses and the RL NamedTuples all do — orbax
+        stores NamedTuples keyed by field name). Unlike
+        :meth:`restore_raw_latest`, only the requested leaves are read, so
+        a multi-GB replay buffer never touches host memory, and shapes are
+        validated against `params_target` (a live or abstract pytree)."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                          params_target)
+        out = self._mgr.restore(
+            step, args=ocp.args.PyTreeRestore(item={"params": abstract},
+                                              partial_restore=True))
+        return out["params"]
+
     def restore_raw_latest(self) -> Optional[Any]:
         """Restore the newest checkpoint WITHOUT a target: returns the saved
         pytree as nested dicts of host arrays (for partial/params-only

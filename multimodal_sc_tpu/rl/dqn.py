@@ -102,9 +102,12 @@ def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
 
 def init_params(cfg: ExperimentConfig, key: Array):
     """Q-network params alone (e.g. as a raw-restore target for eval) —
-    no env states, replay buffer, or n-step window allocated."""
-    k_env, k_par = jax.random.split(key)
-    env_states = driving.reset_batch(cfg.env, k_env, 1)
+    no env states, replay buffer, or n-step window allocated. Splits
+    `key` exactly like :func:`init`, so the same seed yields the same
+    fresh network either way (param values depend only on the init rng,
+    not on the example observation)."""
+    _, k_par, _ = jax.random.split(key, 3)
+    env_states = driving.reset_batch(cfg.env, jax.random.key(0), 1)
     img, pts, mask = driving.observe_batch(cfg.env, env_states)
     return QNetwork(cfg).init(k_par, img, pts, mask,
                               jax.random.key(0))["params"]
@@ -115,9 +118,7 @@ def init(cfg: ExperimentConfig, key: Array, num_envs: int) -> DQNState:
     env_states = driving.reset_batch(cfg.env, k_env, num_envs)
     img, pts, mask = driving.observe_batch(cfg.env, env_states)
 
-    net = QNetwork(cfg)
-    params = net.init(k_par, img[:1], pts[:1], mask[:1], jax.random.key(0))[
-        "params"]
+    params = init_params(cfg, key)
     opt_state = make_optimizer(cfg).init(params)
 
     # quantize_obs sets the buffer's stored image dtype (uint8 when

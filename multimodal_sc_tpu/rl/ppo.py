@@ -55,10 +55,13 @@ def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
 
 
 def init_params(cfg: ExperimentConfig, key: Array):
-    """Actor-critic params alone (e.g. as a raw-restore target for eval) —
-    no env states or accumulators allocated."""
-    k_env, k_par = jax.random.split(key)
-    env_states = driving.reset_batch(cfg.env, k_env, 1)
+    """Actor-critic params alone (e.g. as a raw-restore target for eval)
+    — no env states or accumulators allocated. Splits `key` exactly like
+    :func:`init`, so the same seed yields the same fresh network either
+    way (param values depend only on the init rng, not on the example
+    observation)."""
+    _, k_par, _ = jax.random.split(key, 3)
+    env_states = driving.reset_batch(cfg.env, jax.random.key(0), 1)
     img, pts, mask = driving.observe_batch(cfg.env, env_states)
     return ActorCritic(cfg).init(k_par, img, pts, mask,
                                  jax.random.key(0))["params"]
@@ -68,9 +71,7 @@ def init(cfg: ExperimentConfig, key: Array) -> PPOState:
     k_env, k_par, k_state = jax.random.split(key, 3)
     env_states = driving.reset_batch(cfg.env, k_env, cfg.rl.num_envs)
     img, pts, mask = driving.observe_batch(cfg.env, env_states)
-    ac = ActorCritic(cfg)
-    params = ac.init(k_par, img[:1], pts[:1], mask[:1], jax.random.key(0))[
-        "params"]
+    params = init_params(cfg, key)
     opt_state = make_optimizer(cfg).init(params)
     zeros = jnp.zeros((cfg.rl.num_envs,), jnp.float32)
     return PPOState(params=params, opt_state=opt_state, env_states=env_states,

@@ -27,6 +27,38 @@ from multimodal_sc_tpu.rl import dqn as dqn_lib
 from multimodal_sc_tpu.runtime import mesh as mesh_lib
 
 
+def _guard_replay_dtype(cfg: ExperimentConfig) -> None:
+    """Refuse to resume across an rl.replay_quantize flip.
+
+    Orbax's shape-dtype-struct restore silently CASTS a float32 [0,1]
+    image store into a uint8 target (every frame becomes 0) and vice
+    versa (0-255 floats fed to the net with no dequantize) — no error,
+    just corrupted replay. The config pinned beside the checkpoints
+    (save_config) records the training-time flag; mismatches must be
+    explicit (`--set rl.replay_quantize=...`), not silent."""
+    import json
+    import os
+
+    path = os.path.join(cfg.train.checkpoint_dir, "config.json")
+    if not os.path.exists(path):
+        return
+    try:
+        saved = json.load(open(path))
+        # Pre-r2 checkpoints predate the flag entirely = f32 stores.
+        saved_flag = saved["rl"].get("replay_quantize", False)
+    except (json.JSONDecodeError, KeyError, TypeError):
+        return  # unreadable/foreign config: nothing to compare against
+    if bool(saved_flag) != bool(cfg.rl.replay_quantize):
+        raise ValueError(
+            f"checkpoint dir {cfg.train.checkpoint_dir!r} was trained with "
+            f"rl.replay_quantize={saved_flag} but the current config has "
+            f"{cfg.rl.replay_quantize}; restoring across the flip would "
+            "silently corrupt the replay image store (orbax casts dtypes "
+            "without rescaling). Re-run with --set "
+            f"rl.replay_quantize={str(bool(saved_flag)).lower()} or start "
+            "a fresh checkpoint dir.")
+
+
 def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
         metrics_path: Optional[str] = None,
         init_from: Optional[str] = None):
@@ -72,6 +104,7 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
         from multimodal_sc_tpu.io.checkpoint import CheckpointManager
 
         ckpt_mgr = CheckpointManager(cfg.train.checkpoint_dir)
+        _guard_replay_dtype(cfg)
         ckpt_mgr.save_config(cfg.to_json())
         restored = ckpt_mgr.restore_latest(state)
         if restored is not None:

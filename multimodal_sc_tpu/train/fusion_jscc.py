@@ -38,32 +38,46 @@ from multimodal_sc_tpu.obs.profiling import NaNWatchdog, maybe_trace
 Array = jax.Array
 
 
+def build_camera_codec(cfg: ExperimentConfig):
+    """The fusion pipeline's camera codec module. Shared by
+    LateFusionJSCC.setup and the standalone SNR-sweep evaluator (cli
+    eval) so the eval model's param tree always matches the checkpoint
+    (note: unlike the plain-jscc builder, the fusion camera branch has
+    NO seg head — segmentation lives on the LiDAR BEV side)."""
+    cam = cfg.camera
+    dtype = jnp.bfloat16 if cfg.train.bf16 else jnp.float32
+    if cam.arch == "vit":
+        return ViTJSCC(
+            image_hw=cam.image_hw, patch=cam.patch, dim=cam.dim,
+            depth=cam.depth, heads=cam.heads, c_sym=cam.c_sym,
+            snr_conditioning=cam.snr_conditioning,
+            use_pallas=cfg.use_pallas or cfg.pallas_attention,
+            dtype=dtype)
+    return CameraJSCC(
+        features=cam.features, c_sym=cam.c_sym, image_hw=cam.image_hw,
+        snr_conditioning=cam.snr_conditioning,
+        use_pallas=cfg.use_pallas, dtype=dtype)
+
+
+def build_lidar_codec(cfg: ExperimentConfig):
+    """The fusion pipeline's LiDAR BEV codec module (same sharing)."""
+    lid = cfg.lidar
+    dtype = jnp.bfloat16 if cfg.train.bf16 else jnp.float32
+    return LidarBEVCodec(
+        pillar_dim=lid.pillar_dim, bev_hw=lid.bev_hw, c_sym=lid.c_sym,
+        seg_classes=lid.seg_classes,
+        x_range=lid.x_range, y_range=lid.y_range,
+        use_pallas=cfg.use_pallas, dtype=dtype)
+
+
 class LateFusionJSCC(nn.Module):
     """Camera codec + LiDAR codec under one param tree (late fusion)."""
 
     cfg: ExperimentConfig
 
     def setup(self):
-        cam = self.cfg.camera
-        dtype = jnp.bfloat16 if self.cfg.train.bf16 else jnp.float32
-        if cam.arch == "vit":
-            self.camera = ViTJSCC(
-                image_hw=cam.image_hw, patch=cam.patch, dim=cam.dim,
-                depth=cam.depth, heads=cam.heads, c_sym=cam.c_sym,
-                snr_conditioning=cam.snr_conditioning,
-                use_pallas=self.cfg.use_pallas or self.cfg.pallas_attention,
-                dtype=dtype)
-        else:
-            self.camera = CameraJSCC(
-                features=cam.features, c_sym=cam.c_sym, image_hw=cam.image_hw,
-                snr_conditioning=cam.snr_conditioning,
-                use_pallas=self.cfg.use_pallas, dtype=dtype)
-        lid = self.cfg.lidar
-        self.lidar = LidarBEVCodec(
-            pillar_dim=lid.pillar_dim, bev_hw=lid.bev_hw, c_sym=lid.c_sym,
-            seg_classes=lid.seg_classes,
-            x_range=lid.x_range, y_range=lid.y_range,
-            use_pallas=self.cfg.use_pallas, dtype=dtype)
+        self.camera = build_camera_codec(self.cfg)
+        self.lidar = build_lidar_codec(self.cfg)
 
     def __call__(self, img, points, mask, snr_db, key):
         """Full late-fusion TX: both branches through the channel."""

@@ -67,12 +67,16 @@ def main() -> None:
         proc = subprocess.run(
             [sys.executable, "-m", "multimodal_sc_tpu.cli", *args],
             capture_output=True, text=True)
+        retried = False
         if proc.returncode != 0 and "FAILED_PRECONDITION" in proc.stderr:
             # The axon tunnel intermittently throws 'TPU backend error
             # (FailedPrecondition)' mid-run (~2/11 long runs, r2); one
             # retry has always succeeded.
             print(f"=== {name}: transient TPU FailedPrecondition, "
                   "retrying once ===", flush=True)
+            print("\n".join(proc.stderr.splitlines()[-5:]), flush=True)
+            retried = True
+            t0 = time.time()   # wall_s = the successful attempt only
             proc = subprocess.run(
                 [sys.executable, "-m", "multimodal_sc_tpu.cli", *args],
                 capture_output=True, text=True)
@@ -90,6 +94,8 @@ def main() -> None:
             "returncode": proc.returncode, "final": last_json,
             "stdout_tail": out[-8:],
         }
+        if retried:
+            results[name]["retried_transient_tpu_error"] = True
         if proc.returncode != 0:
             results[name]["stderr_tail"] = proc.stderr.splitlines()[-15:]
         print(json.dumps(results[name], indent=2), flush=True)

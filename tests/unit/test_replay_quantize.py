@@ -76,3 +76,20 @@ def test_iteration_trains_with_and_without_quantize(key):
     # not replay) -> losses differ only by quantization noise.
     assert abs(losses["true"] - losses["false"]) < 0.05 * (
         1.0 + abs(losses["false"]))
+
+
+def test_resume_across_quantize_flip_refuses(tmp_path, key):
+    """Restoring a checkpoint dir trained with the other replay_quantize
+    value must raise (orbax would silently cast f32<->uint8 image stores,
+    corrupting every frame) — guarded via the pinned config.json."""
+    from multimodal_sc_tpu.train import dqn as dqn_train
+
+    cfg_off = _tiny("rl.replay_quantize=false",
+                    f"train.checkpoint_dir={tmp_path}",
+                    "train.steps=1", "train.checkpoint_every=1",
+                    "train.log_every=10", "rl.num_envs=8")
+    dqn_train.run(cfg_off, num_envs=8)
+
+    cfg_on = cfg_off.override_str(["rl.replay_quantize=true"])
+    with pytest.raises(ValueError, match="replay_quantize"):
+        dqn_train.run(cfg_on, num_envs=8)
