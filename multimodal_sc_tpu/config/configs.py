@@ -100,6 +100,9 @@ class EnvConfig:
     camera_mode: str = "topdown"  # topdown | front (perspective pinhole)
     image_hw: Tuple[int, int] = (32, 32)
     lidar_rays: int = 64
+    lidar_road: bool = True       # rays also return road-boundary (curb)
+    # hits with distinct (z, intensity), so the LiDAR modality carries lane
+    # geometry, not just NPC obstacles (VERDICT r2 item 5)
     max_steps: int = 128
     dt: float = 0.1
     num_lanes: int = 3
@@ -120,6 +123,9 @@ class RLConfig:
     eps_decay_steps: int = 20000
     double_dqn: bool = True
     n_step: int = 1               # n-step returns (rl/nstep.py); 1 = vanilla
+    ablate_lidar: bool = False    # zero the LiDAR input in the perception
+    # trunk (points and mask) — the camera-only ablation arm; same params/
+    # init as the full model so eval returns are directly comparable
     replay_quantize: bool = True  # store replay images as uint8 (4x fewer
     # HBM bytes + 4x replay memory; images are rendered in [0,1], so the
     # 1/255 step is far below sensor noise — the standard DQN frame store)
@@ -132,12 +138,20 @@ class RLConfig:
     num_minibatches: int = 4
     value_coef: float = 0.5
     entropy_coef: float = 0.01
+    entropy_coef_final: float = -1.0  # >=0: linearly anneal the entropy
+    # coefficient from entropy_coef to this value over train.steps updates
+    # (sharpens the policy so short-budget runs eval well greedily);
+    # negative = constant coefficient (the r2 behavior)
 
 
 @dataclass(frozen=True)
 class TrainConfig:
     task: str = "jscc"            # jscc | dqn | ppo
     steps: int = 1000
+    iters_per_dispatch: int = 1   # DQN driver: lax.scan this many iterations
+    # per device dispatch (amortizes host dispatch latency; metrics cadence
+    # preserved — the scan returns per-iteration metrics stacked).
+    # checkpoint_every must be a multiple when checkpointing is enabled.
     batch_size: int = 64
     lr: float = 1e-3
     warmup_steps: int = 100
@@ -172,6 +186,11 @@ class ExperimentConfig:
     train: TrainConfig = field(default_factory=TrainConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     use_pallas: bool = False      # all fused Pallas kernels (conv+attn+scatter)
+    pallas_mha_block: bool = False  # whole-MHA-span fused kernel in the
+    # fusion transformer (LN+QKV+attention+out-proj+residual as ONE Pallas
+    # program — kernels/mha_block.py, the r2-verdict widened-fusion
+    # experiment). NOTE: changes the fusion param tree (packed weights), so
+    # checkpoints do not transfer across a flip.
     pallas_attention: bool = False  # attention kernels only (packed-head
     # kernel at flagship shapes, generic flash otherwise). Off by default:
     # the packed kernel wins isolated but the pallas_call boundary breaks

@@ -69,7 +69,13 @@ def c4_dqn_fusion() -> ExperimentConfig:
         # deeper replay, eps annealed over the first 3k of 5k iterations.
         rl=RLConfig(algo="dqn", num_envs=64, n_step=3,
                     replay_capacity=32768, eps_decay_steps=3000),
-        train=TrainConfig(task="dqn", steps=5000, batch_size=128),
+        # 50 iterations per dispatch: the r2 c4 wall was 6x the measured
+        # step time, dominated by per-iteration dispatch through the axon
+        # tunnel (VERDICT r2 item 3); scanning K steps per dispatch
+        # amortizes it with identical numerics (50 = log_every, divides
+        # checkpoint_every=500 and steps=5000).
+        train=TrainConfig(task="dqn", steps=5000, batch_size=128,
+                          iters_per_dispatch=50),
     )
 
 

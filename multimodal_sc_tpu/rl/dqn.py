@@ -74,6 +74,13 @@ def dequantize_obs(cfg: ExperimentConfig, batch: Transition) -> Transition:
                           next_image=d(batch.next_image))
 
 
+def dequantize_image(img: Array) -> Array:
+    """Undo :func:`quantize_image` (identity for float stores)."""
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) * (1.0 / 255.0)
+    return img
+
+
 class DQNState(NamedTuple):
     params: Any
     target_params: Any
@@ -85,6 +92,15 @@ class DQNState(NamedTuple):
     step: Array                # () int32 gradient steps taken
     ep_return: Array           # (B,) running episode return per env
     last_return: Array         # (B,) most recent completed episode return
+    # Current observation, carried from the previous step's env render so
+    # the iteration never re-renders what step_batch already produced
+    # (VERDICT r2 item 2 — the act path is HBM-bound, and observe_batch at
+    # the top of each iteration recomputed exactly the previous ts.image/
+    # points/mask). Image is stored in replay dtype (uint8 when
+    # rl.replay_quantize) so the n-step window push reuses it byte-for-byte.
+    obs_image: Array           # (B, H, W, 3) f32 or uint8
+    obs_points: Array          # (B, R, 4)
+    obs_mask: Array            # (B, R)
 
 
 def _epsilon(cfg: ExperimentConfig, step: Array) -> Array:
@@ -142,7 +158,9 @@ def init(cfg: ExperimentConfig, key: Array, num_envs: int) -> DQNState:
                     env_states=env_states, buffer=buf, window=window,
                     key=k_state,
                     step=jnp.int32(0), ep_return=zeros,
-                    last_return=jnp.copy(zeros))
+                    last_return=jnp.copy(zeros),
+                    obs_image=quantize_image(cfg, img), obs_points=pts,
+                    obs_mask=mask)
 
 
 def act(cfg: ExperimentConfig, params, image, points, mask, key,
@@ -183,20 +201,81 @@ def _td_loss(params, target_params, batch: Transition, key: Array,
     return jnp.mean(optax.huber_loss(q_taken, target))
 
 
-def make_iteration(cfg: ExperimentConfig, learn: bool = True):
-    """Build the single jitted actor+learner iteration."""
+def shard_state(state: DQNState, mesh, tp: bool = True) -> DQNState:
+    """Place a DQNState on a mesh for the GSPMD (jit) path: envs, replay,
+    window, obs, and per-env accumulators over ``data``; params/target/opt
+    state TP-sharded over ``model`` (when tp and the axis exists), the rest
+    replicated. The shard_map SPMD path (rl/dqn_sharded.py) remains the
+    production DP route; this layout is the TP demonstration the multichip
+    dry run and tests/distributed/test_tp.py exercise."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_sc_tpu.runtime import mesh as mesh_lib
+    from multimodal_sc_tpu.runtime.tp import apply_tp
+
+    repl = NamedSharding(mesh, P())
+
+    def data_sh(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.device_put(x, NamedSharding(
+                mesh, P(mesh_lib.DATA_AXIS, *([None] * (x.ndim - 1)))))
+        return jax.device_put(x, repl)
+
+    def repl_tree(t):
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), t)
+
+    use_tp = tp and mesh.shape.get(mesh_lib.MODEL_AXIS, 1) > 1
+    put_params = (lambda p: apply_tp(p, mesh)) if use_tp else repl_tree
+    # The replay buffer's capacity dim is NOT sharded (one logical buffer;
+    # sample() uses global indices) — only batched env-side arrays are.
+    return DQNState(
+        params=put_params(state.params),
+        target_params=put_params(state.target_params),
+        opt_state=repl_tree(state.opt_state),
+        env_states=jax.tree_util.tree_map(data_sh, state.env_states),
+        buffer=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), state.buffer),
+        window=repl_tree(state.window),
+        key=jax.device_put(state.key, repl),
+        step=jax.device_put(state.step, repl),
+        ep_return=data_sh(state.ep_return),
+        last_return=data_sh(state.last_return),
+        obs_image=data_sh(state.obs_image),
+        obs_points=data_sh(state.obs_points),
+        obs_mask=data_sh(state.obs_mask),
+    )
+
+
+def make_iteration(cfg: ExperimentConfig, learn: bool = True,
+                   carry_obs: bool = True, chunk: int = 1):
+    """Build the single jitted actor+learner iteration.
+
+    ``carry_obs=False`` re-renders the current observation at the top of
+    each iteration (the r2 behavior) — kept only as the interleaved-A/B
+    hook for the carried-observation change. ``chunk > 1`` runs that many
+    iterations per dispatch inside one ``lax.scan`` (metrics come back
+    stacked ``(chunk,)`` per key) — amortizes host dispatch latency on the
+    training wall clock (VERDICT r2 item 3) with identical numerics.
+    """
     tx = make_optimizer(cfg)
 
-    # Donate the state (incl. the replay buffer's SoA arrays) so XLA
-    # updates it in place instead of double-buffering hundreds of MB.
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def iteration(state: DQNState):
+    def body(state: DQNState):
         # Same split count/order as the shard_map twin (rl/dqn_sharded.py)
         # so a 1-shard sharded iteration is bit-identical to this one
         # (tests/distributed/test_dqn_sharded.py equivalence test).
         key, k_act, k_sample, k_loss = jax.random.split(state.key, 4)
 
-        img, pts, mask = driving.observe_batch(cfg.env, state.env_states)
+        if carry_obs:
+            # The previous step_batch already rendered this state's obs;
+            # consume the carried copy instead of re-rendering (and when
+            # rl.replay_quantize, act on the same dequantized frames the
+            # learner trains on — act/replay observations now agree).
+            img_store = state.obs_image
+            img = dequantize_image(img_store)
+            pts, mask = state.obs_points, state.obs_mask
+        else:
+            img, pts, mask = driving.observe_batch(cfg.env, state.env_states)
+            img_store = quantize_image(cfg, img)
         eps = _epsilon(cfg, state.step)
         actions = act(cfg, state.params, img, pts, mask, k_act, eps)
         env_states, ts = driving.step_batch(cfg.env, state.env_states, actions)
@@ -207,16 +286,17 @@ def make_iteration(cfg: ExperimentConfig, learn: bool = True):
 
         # n-step window: push the newest (obs, action, r, done), emit the
         # transition anchored n steps back (n=1: this step's transition).
+        next_store = quantize_image(cfg, ts.image)
         window, oldest, n_ret, n_done, valid = nstep.push(
             state.window,
-            {"image": quantize_image(cfg, img), "points": pts,
+            {"image": img_store, "points": pts,
              "mask": mask, "action": actions},
             ts.reward, ts.done, cfg.rl.gamma)
         trans = quantize_obs(cfg, Transition(
             image=oldest["image"], points=oldest["points"],
             mask=oldest["mask"], action=oldest["action"],
             reward=n_ret, done=n_done,
-            next_image=ts.image, next_points=ts.points, next_mask=ts.mask,
+            next_image=next_store, next_points=ts.points, next_mask=ts.mask,
         ))
         new_buf = replay.add_batch(state.buffer, trans)
         # Until the window fills, the scattered rows are placeholders:
@@ -259,11 +339,21 @@ def make_iteration(cfg: ExperimentConfig, learn: bool = True):
         new_state = DQNState(
             params=params, target_params=target_params, opt_state=opt_state,
             env_states=env_states, buffer=buf, window=window, key=key,
-            step=step, ep_return=ep_return, last_return=last_return)
+            step=step, ep_return=ep_return, last_return=last_return,
+            obs_image=next_store, obs_points=ts.points, obs_mask=ts.mask)
         metrics = {"loss": loss, "epsilon": eps,
                    "reward": jnp.mean(ts.reward),
                    "episode_return": jnp.mean(last_return),
                    "buffer_size": buf.size.astype(jnp.float32)}
         return new_state, metrics
+
+    # Donate the state (incl. the replay buffer's SoA arrays) so XLA
+    # updates it in place instead of double-buffering hundreds of MB.
+    if chunk == 1:
+        return functools.partial(jax.jit, donate_argnums=(0,))(body)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def iteration(state: DQNState):
+        return jax.lax.scan(lambda s, _: body(s), state, None, length=chunk)
 
     return iteration

@@ -29,8 +29,8 @@ from multimodal_sc_tpu.config.configs import ExperimentConfig
 from multimodal_sc_tpu.envs import driving
 from multimodal_sc_tpu.rl import nstep, replay
 from multimodal_sc_tpu.rl.dqn import (Transition, _epsilon, _td_loss,
-                                      act, dequantize_obs, quantize_image,
-                                      quantize_obs)
+                                      act, dequantize_image, dequantize_obs,
+                                      quantize_image, quantize_obs)
 from multimodal_sc_tpu.rl.dqn import make_optimizer
 from multimodal_sc_tpu.rl.perception import QNetwork
 from multimodal_sc_tpu.runtime.mesh import DATA_AXIS
@@ -51,6 +51,11 @@ class ShardedDQNState(NamedTuple):
     step: Array          # () replicated gradient-step counter
     ep_return: Array     # (S * E,) sharded
     last_return: Array   # (S * E,) sharded
+    # Carried current observation (see rl/dqn.py DQNState) — sharded over
+    # data like the env states that produced it.
+    obs_image: Array     # (S * E, H, W, 3) f32 or uint8
+    obs_points: Array    # (S * E, R, 4)
+    obs_mask: Array      # (S * E, R)
 
 
 def init(cfg: ExperimentConfig, key: Array, mesh,
@@ -111,15 +116,21 @@ def init(cfg: ExperimentConfig, key: Array, mesh,
         step=jax.device_put(jnp.int32(0), repl),
         ep_return=put_data(zeros),
         last_return=put_data(jnp.copy(zeros)),
+        obs_image=put_data(quantize_image(cfg, img)),
+        obs_points=put_data(pts),
+        obs_mask=put_data(mask),
     )
 
 
-def make_iteration(cfg: ExperimentConfig, mesh):
+def make_iteration(cfg: ExperimentConfig, mesh, chunk: int = 1):
+    """Chunked exactly like the unsharded twin (rl/dqn.py): ``chunk > 1``
+    scans that many iterations per dispatch, metrics stacked (chunk,)."""
     tx = make_optimizer(cfg)
     capacity = cfg.rl.replay_capacity
 
     def shard_fn(params, target_params, opt_state, env_states, buffer_data,
-                 cursor, size, window, keys, step, ep_return, last_return):
+                 cursor, size, window, keys, step, ep_return, last_return,
+                 obs_image, obs_points, obs_mask):
         # Inside shard_map: leading shard dims are local (size 1 for the
         # buffer stack, E for env arrays). Unstack the local buffer/window.
         buf = replay.ReplayBuffer(
@@ -129,7 +140,9 @@ def make_iteration(cfg: ExperimentConfig, mesh):
         key = keys[0]
         key, k_act, k_sample, k_loss = jax.random.split(key, 4)
 
-        img, pts, mask = driving.observe_batch(cfg.env, env_states)
+        # Carried obs (rl/dqn.py): consume the previous step's render.
+        img_store, pts, mask = obs_image, obs_points, obs_mask
+        img = dequantize_image(img_store)
         eps = _epsilon(cfg, step)
         actions = act(cfg, params, img, pts, mask, k_act, eps)
         env_states, ts = driving.step_batch(cfg.env, env_states, actions)
@@ -139,16 +152,18 @@ def make_iteration(cfg: ExperimentConfig, mesh):
         ep_return = jnp.where(ts.done, 0.0, ep_return)
 
         # Same n-step window logic as the unsharded twin (rl/dqn.py).
+        next_store = quantize_image(cfg, ts.image)
         win, oldest, n_ret, n_done, valid = nstep.push(
             win,
-            {"image": quantize_image(cfg, img), "points": pts,
+            {"image": img_store, "points": pts,
              "mask": mask, "action": actions},
             ts.reward, ts.done, cfg.rl.gamma)
         trans = quantize_obs(cfg, Transition(
             image=oldest["image"], points=oldest["points"],
             mask=oldest["mask"], action=oldest["action"],
             reward=n_ret, done=n_done,
-            next_image=ts.image, next_points=ts.points, next_mask=ts.mask))
+            next_image=next_store, next_points=ts.points,
+            next_mask=ts.mask))
         new_buf = replay.add_batch(buf, trans)
         buf = new_buf._replace(
             cursor=jnp.where(valid, new_buf.cursor, buf.cursor),
@@ -194,7 +209,8 @@ def make_iteration(cfg: ExperimentConfig, mesh):
                 buf.cursor[None], buf.size[None],
                 jax.tree_util.tree_map(lambda x: x[None], win),
                 key[None], step,
-                ep_return, last_return, metrics)
+                ep_return, last_return,
+                next_store, ts.points, ts.mask, metrics)
 
     d = P(DATA_AXIS)
     dn = lambda ndim: P(DATA_AXIS, *([None] * (ndim - 1)))  # noqa: E731
@@ -205,8 +221,7 @@ def make_iteration(cfg: ExperimentConfig, mesh):
             lambda x: spec_fn(jnp.ndim(x)), tree,
             is_leaf=lambda x: hasattr(x, "ndim"))
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def iteration(state: ShardedDQNState):
+    def step_once(state: ShardedDQNState):
         in_specs = (
             jax.tree_util.tree_map(lambda _: r, state.params),
             jax.tree_util.tree_map(lambda _: r, state.target_params),
@@ -217,6 +232,9 @@ def make_iteration(cfg: ExperimentConfig, mesh):
             specs_like(state.window, dn),
             d, r,
             d, d,
+            dn(jnp.ndim(state.obs_image)),
+            dn(jnp.ndim(state.obs_points)),
+            dn(jnp.ndim(state.obs_mask)),
         )
         out_specs = (
             jax.tree_util.tree_map(lambda _: r, state.params),
@@ -228,6 +246,9 @@ def make_iteration(cfg: ExperimentConfig, mesh):
             specs_like(state.window, dn),
             d, r,
             d, d,
+            dn(jnp.ndim(state.obs_image)),
+            dn(jnp.ndim(state.obs_points)),
+            dn(jnp.ndim(state.obs_mask)),
             {k: r for k in ("loss", "epsilon", "reward", "episode_return",
                             "buffer_size")},
         )
@@ -237,9 +258,18 @@ def make_iteration(cfg: ExperimentConfig, mesh):
         )(state.params, state.target_params, state.opt_state,
           state.env_states, state.buffer_data, state.buffer_cursor,
           state.buffer_size, state.window, state.keys, state.step,
-          state.ep_return, state.last_return)
+          state.ep_return, state.last_return,
+          state.obs_image, state.obs_points, state.obs_mask)
         metrics = out[-1]
         new_state = ShardedDQNState(*out[:-1])
         return new_state, metrics
+
+    if chunk == 1:
+        return functools.partial(jax.jit, donate_argnums=(0,))(step_once)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def iteration(state: ShardedDQNState):
+        return jax.lax.scan(lambda s, _: step_once(s), state, None,
+                            length=chunk)
 
     return iteration

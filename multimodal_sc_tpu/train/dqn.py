@@ -71,6 +71,7 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
     key = jax.random.key(cfg.train.seed)
     key, k_init = jax.random.split(key)
 
+    chunk = max(1, cfg.train.iters_per_dispatch)
     mesh = mesh_lib.make_mesh()
     n_shards = mesh.shape[mesh_lib.DATA_AXIS]
     sharded = n_shards > 1
@@ -82,11 +83,15 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
                 f"num_envs {num_envs} not divisible by data shards {n_shards}")
         state = dqn_sharded.init(cfg, k_init, mesh,
                                  envs_per_shard=num_envs // n_shards)
-        iteration = dqn_sharded.make_iteration(cfg, mesh)
+        iteration = dqn_sharded.make_iteration(cfg, mesh, chunk=chunk)
+        iteration_1 = (iteration if chunk == 1
+                       else dqn_sharded.make_iteration(cfg, mesh))
         state_cls = dqn_sharded.ShardedDQNState
     else:
         state = dqn_lib.init(cfg, k_init, num_envs)
-        iteration = dqn_lib.make_iteration(cfg)
+        iteration = dqn_lib.make_iteration(cfg, chunk=chunk)
+        iteration_1 = (iteration if chunk == 1
+                       else dqn_lib.make_iteration(cfg))
         state_cls = dqn_lib.DQNState
 
     if init_from:
@@ -115,15 +120,43 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
     # re-saving an existing step would raise StepAlreadyExistsError and the
     # loop must not redo completed iterations.
     start_it = (ckpt_mgr.latest_step() or 0) if ckpt_mgr else 0
+    ce = cfg.train.checkpoint_every
+
+    def _chunk_ok(it: int) -> bool:
+        """Chunked dispatch only when it keeps checkpoint semantics exact:
+        aligned start, no overrun, and no checkpoint boundary strictly
+        inside the chunk (state is only on host at dispatch boundaries)."""
+        if chunk == 1 or it % chunk != 0 or it + chunk > cfg.train.steps:
+            return False
+        if ckpt_mgr and any((it + j) % ce == 0 for j in range(1, chunk)):
+            return False
+        return True
+
     with maybe_trace(cfg.train.profile_dir), Timer() as t:
-        for it in range(start_it, cfg.train.steps):
-            state, metrics = iteration(state)
-            last = metrics
-            if (it + 1) % cfg.train.log_every == 0:
-                writer.write(it + 1, metrics)
-                watchdog.check(it + 1, metrics)
-            if ckpt_mgr and (it + 1) % cfg.train.checkpoint_every == 0:
-                ckpt_mgr.save(it + 1, state)
+        it = start_it
+        while it < cfg.train.steps:
+            if _chunk_ok(it):
+                # One dispatch = `chunk` scanned iterations; metrics come
+                # back stacked (chunk,) so the log cadence is unchanged.
+                state, stacked = iteration(state)
+                for j in range(chunk):
+                    g = it + 1 + j
+                    if g % cfg.train.log_every == 0:
+                        m_j = {k: v[j] for k, v in stacked.items()}
+                        writer.write(g, m_j)
+                        watchdog.check(g, m_j)
+                last = {k: v[-1] for k, v in stacked.items()}
+                it += chunk
+            else:
+                # Tail / alignment path (also the whole loop when chunk=1).
+                state, metrics = iteration_1(state)
+                last = metrics
+                it += 1
+                if it % cfg.train.log_every == 0:
+                    writer.write(it, metrics)
+                    watchdog.check(it, metrics)
+            if ckpt_mgr and it % cfg.train.checkpoint_every == 0:
+                ckpt_mgr.save(it, state)
     jax.block_until_ready(last)
     sps = steps_per_sec_per_chip(
         (cfg.train.steps - start_it) * num_envs, t.elapsed)

@@ -63,7 +63,8 @@ def test_sharded_matches_unsharded_on_one_shard(key):
         buffer_cursor=cp.buffer.cursor[None], buffer_size=cp.buffer.size[None],
         window=jax.tree_util.tree_map(lambda x: x[None], cp.window),
         keys=cp.key[None], step=cp.step, ep_return=cp.ep_return,
-        last_return=cp.last_return)
+        last_return=cp.last_return, obs_image=cp.obs_image,
+        obs_points=cp.obs_points, obs_mask=cp.obs_mask)
 
     it_plain = dqn_lib.make_iteration(cfg)
     it_shard = dqn_sharded.make_iteration(cfg, mesh1)

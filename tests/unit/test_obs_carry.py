@@ -1,0 +1,106 @@
+"""Carried-observation + chunked-dispatch equivalence (VERDICT r2 items 2+3).
+
+The DQN iteration carries the previous step's rendered (image, points, mask)
+in DQNState instead of re-rendering via observe_batch; with f32 stores the
+two paths are bit-identical (observe is a deterministic function of the env
+state). Chunked dispatch (lax.scan of K iterations) must also be
+bit-identical to K single dispatches.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_sc_tpu.config.presets import get_preset
+from multimodal_sc_tpu.envs import driving
+from multimodal_sc_tpu.rl import dqn as dqn_lib
+
+
+def _tiny(*extra):
+    return get_preset("c4").override_str([
+        "camera.features=8,16,16,16", "camera.c_sym=2",
+        "camera.image_hw=16,16", "env.image_hw=16,16",
+        "lidar.pillar_dim=16", "lidar.c_sym=2", "lidar.bev_hw=8,8",
+        "fusion.dim=32", "fusion.depth=1", "fusion.heads=2",
+        "fusion.state_dim=32",
+        "env.num_npcs=2", "env.lidar_rays=16",
+        "rl.replay_capacity=64", "rl.batch_size=8",
+        *extra,
+    ])
+
+
+def test_carry_matches_rerender_f32(key):
+    """With f32 stores, carrying obs == re-rendering. Same math, but two
+    different compiled graphs — XLA fusion reassociation gives ~1 ULP
+    differences (amplified over many Adam steps), so the gates are: one
+    step state-equivalent to float noise, and a 12-iteration metric
+    trajectory that tracks at rtol 1e-6."""
+    cfg = _tiny("rl.replay_quantize=false")
+    s_carry = dqn_lib.init(cfg, key, num_envs=4)
+    s_rerender = jax.tree_util.tree_map(jnp.copy, s_carry)
+    it_c = dqn_lib.make_iteration(cfg, carry_obs=True)
+    it_r = dqn_lib.make_iteration(cfg, carry_obs=False)
+
+    s1, _ = it_c(jax.tree_util.tree_map(jnp.copy, s_carry))
+    s2, _ = it_r(jax.tree_util.tree_map(jnp.copy, s_rerender))
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s1._asdict()),
+            jax.tree_util.tree_leaves_with_path(s2._asdict())):
+        if jnp.issubdtype(getattr(a, "dtype", jnp.float32),
+                          jax.dtypes.prng_key):
+            a, b = jax.random.key_data(a), jax.random.key_data(b)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"state leaf {p1}")
+
+    for i in range(12):
+        s_carry, m_c = it_c(s_carry)
+        s_rerender, m_r = it_r(s_rerender)
+        for k in m_c:
+            np.testing.assert_allclose(
+                np.asarray(m_c[k]), np.asarray(m_r[k]), rtol=1e-6,
+                err_msg=f"iter {i} metric {k}")
+
+
+def test_carried_obs_invariant(key):
+    """The carried obs always equals observe_batch of the carried env state
+    (the invariant that makes the carry safe), in storage dtype."""
+    cfg = _tiny()  # replay_quantize default on -> uint8 store
+    state = dqn_lib.init(cfg, key, num_envs=4)
+    it = dqn_lib.make_iteration(cfg)
+    for _ in range(3):
+        state, _ = it(state)
+    img, pts, mask = driving.observe_batch(cfg.env, state.env_states)
+    assert state.obs_image.dtype == jnp.uint8
+    np.testing.assert_array_equal(
+        np.asarray(state.obs_image),
+        np.asarray(dqn_lib.quantize_image(cfg, img)))
+    np.testing.assert_array_equal(np.asarray(state.obs_points),
+                                  np.asarray(pts))
+    np.testing.assert_array_equal(np.asarray(state.obs_mask),
+                                  np.asarray(mask))
+
+
+def test_chunked_matches_single_dispatch(key):
+    """lax.scan-chunked iterations == the same count of single dispatches."""
+    cfg = _tiny()
+    s_single = dqn_lib.init(cfg, key, num_envs=4)
+    s_chunk = jax.tree_util.tree_map(jnp.copy, s_single)
+    it_1 = dqn_lib.make_iteration(cfg)
+    it_3 = dqn_lib.make_iteration(cfg, chunk=3)
+    singles = []
+    for _ in range(6):
+        s_single, m = it_1(s_single)
+        singles.append(jax.device_get(m))
+    stacked = []
+    for _ in range(2):
+        s_chunk, ms = it_3(s_chunk)
+        ms = jax.device_get(ms)
+        stacked.extend({k: v[j] for k, v in ms.items()} for j in range(3))
+    for i, (a, b) in enumerate(zip(singles, stacked)):
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                          err_msg=f"iter {i} metric {k}")
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
+                    jax.tree_util.tree_leaves(s_chunk.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
