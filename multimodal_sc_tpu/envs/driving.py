@@ -394,12 +394,59 @@ def render_camera_front(cfg: EnvConfig, state: EnvState) -> Array:
     return jnp.clip(img, 0.0, 1.0).astype(jnp.float32)
 
 
-def lidar_scan(cfg: EnvConfig, state: EnvState) -> Tuple[Array, Array]:
-    """Fixed ray fan vs NPC circles. Returns (points (R,4), mask (R,)).
+# Curb ray-march: samples per ray (static; ~2 m spacing to 50 m) and point
+# attributes that let the pillar encoder tell curbs from vehicles.
+_CURB_SAMPLES = 24
+_CURB_Z = 0.15
+_CURB_INTENSITY = 0.4
+_NPC_Z = 0.5
+_NPC_INTENSITY = 1.0
 
-    Rays are cast in the EGO frame directly (x ahead, y left); NPC centers
-    are mapped into the ego frame with the same bend as the renderers, so
-    camera and LiDAR agree. z = 0.5, intensity 1 for hits.
+
+def _curb_distance(cfg: EnvConfig, state: EnvState, dx: Array, dy: Array
+                   ) -> Array:
+    """First road-boundary (curb) crossing along each ego-frame ray.
+
+    The road edge in the ego frame is the curve |y - y_c(x)| = half_width
+    with y_c the same clothoid lane polynomial the renderers use, so
+    camera and LiDAR see the SAME curve geometry (VERDICT r2 item 5 — the
+    point cloud now encodes upcoming curvature and lane position, not just
+    NPC obstacles). Closed-form roots of the cubic are branch-heavy, so
+    march M static samples per ray and linearly interpolate the first
+    on-road -> off-road sign change — pure VPU math, static shapes.
+    Returns t (R,) with LIDAR_MAX_RANGE+1 where a ray never leaves the
+    road within range.
+    """
+    ts = jnp.linspace(0.0, LIDAR_MAX_RANGE, _CURB_SAMPLES + 1)   # (M+1,)
+    x = ts[None, :] * dx[:, None]                                # (R, M+1)
+    y = ts[None, :] * dy[:, None]
+    lat = y - _lane_poly(state.road, state.ego, x)
+    off = jnp.abs(lat) - _road_half_width(cfg)                   # >0 off-road
+    crossed = off > 0.0
+    # t=0 is the ego itself: on-road in every live episode; force it so a
+    # (transient) off-road ego doesn't make every ray "hit" at t=0.
+    crossed = crossed.at[:, 0].set(False)
+    idx = jnp.argmax(crossed, axis=1)                            # first True
+    hit = jnp.any(crossed, axis=1)
+    i = jnp.maximum(idx, 1)
+    off_lo = jnp.take_along_axis(off, (i - 1)[:, None], 1)[:, 0]
+    off_hi = jnp.take_along_axis(off, i[:, None], 1)[:, 0]
+    frac = -off_lo / jnp.where(off_hi - off_lo == 0.0, 1.0, off_hi - off_lo)
+    frac = jnp.clip(frac, 0.0, 1.0)
+    dt = ts[1] - ts[0]
+    t_hit = (i.astype(jnp.float32) - 1.0 + frac) * dt
+    return jnp.where(hit, t_hit, LIDAR_MAX_RANGE + 1.0)
+
+
+def lidar_scan(cfg: EnvConfig, state: EnvState) -> Tuple[Array, Array]:
+    """Fixed ray fan vs NPC circles + road boundaries (curbs).
+
+    Returns (points (R,4), mask (R,)). Rays are cast in the EGO frame
+    directly (x ahead, y left); NPC centers are mapped into the ego frame
+    with the same bend as the renderers, so camera and LiDAR agree. Hits
+    carry (z, intensity) = (0.5, 1.0) for vehicles and (0.15, 0.4) for
+    curbs — separable channels for the pillar encoder. ``cfg.lidar_road``
+    gates the curb returns (the pre-r3 NPC-only scan when off).
     """
     r = cfg.lidar_rays
     angles = jnp.linspace(-jnp.pi / 2, jnp.pi / 2, r)
@@ -413,13 +460,21 @@ def lidar_scan(cfg: EnvConfig, state: EnvState) -> Tuple[Array, Array]:
     hit = (disc > 0) & (b > 0)
     t = b - jnp.sqrt(jnp.maximum(disc, 0.0))
     t = jnp.where(hit & (t > 0), t, LIDAR_MAX_RANGE + 1.0)
-    t_min = jnp.min(t, axis=1)                                   # (R,)
+    t_npc = jnp.min(t, axis=1)                                   # (R,)
+    if cfg.lidar_road:
+        t_curb = _curb_distance(cfg, state, dx, dy)
+        is_npc = t_npc <= t_curb
+        t_min = jnp.where(is_npc, t_npc, t_curb)
+        z = jnp.where(is_npc, _NPC_Z, _CURB_Z)
+        inten = jnp.where(is_npc, _NPC_INTENSITY, _CURB_INTENSITY)
+    else:
+        t_min = t_npc
+        z = jnp.full((r,), _NPC_Z)
+        inten = jnp.ones((r,))
     mask = t_min <= LIDAR_MAX_RANGE
     t_safe = jnp.where(mask, t_min, 0.0)
-    pts = jnp.stack(
-        [t_safe * dx, t_safe * dy, jnp.full((r,), 0.5), jnp.ones((r,))],
-        axis=-1,
-    ).astype(jnp.float32)
+    pts = jnp.stack([t_safe * dx, t_safe * dy, z, inten],
+                    axis=-1).astype(jnp.float32)
     pts = pts * mask[:, None]
     return pts, mask
 

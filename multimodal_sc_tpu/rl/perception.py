@@ -72,7 +72,8 @@ class SemanticPerception(nn.Module):
         self.fusion = FusionTransformer(
             dim=fus.dim, depth=fus.depth, heads=fus.heads,
             state_dim=fus.state_dim, mode=fus.mode,
-            use_pallas=attn_pallas, dtype=dtype)
+            use_pallas=attn_pallas,
+            fused_block=self.cfg.pallas_mha_block, dtype=dtype)
 
     def __call__(
         self,
@@ -85,6 +86,11 @@ class SemanticPerception(nn.Module):
         ch = self.cfg.channel
         if snr_db is None:
             snr_db = jnp.full((image.shape[0],), ch.snr_db, jnp.float32)
+        if self.cfg.rl.ablate_lidar:
+            # Camera-only ablation arm (VERDICT r2 item 5): identical
+            # architecture/params, LiDAR branch fed zeros.
+            points = jnp.zeros_like(points)
+            mask = jnp.zeros_like(mask)
         k_cam, k_lid = jax.random.split(key)
 
         # Camera branch: encode -> channel -> token decode.

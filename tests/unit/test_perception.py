@@ -58,3 +58,25 @@ def test_gradients_reach_both_encoders(key):
                 jax.tree_util.tree_leaves(g["perception"]["pfn"]))
     assert cam_g > 0, "no gradient reached the camera encoder"
     assert lid_g > 0, "no gradient reached the lidar pillar net"
+
+
+def test_ablate_lidar_ignores_points(key):
+    """rl.ablate_lidar zeroes the LiDAR branch input: the fused state is
+    invariant to the point cloud (the camera-only ablation arm, VERDICT r2
+    item 5), while the full model is NOT invariant."""
+    cfg = _tiny("cnn")
+    img = jax.random.uniform(key, (2, 16, 16, 3))
+    pts1 = jax.random.normal(jax.random.fold_in(key, 1), (2, 32, 4)) * 5 + 10
+    pts2 = jax.random.normal(jax.random.fold_in(key, 2), (2, 32, 4)) * 5 + 10
+    mask = jnp.ones((2, 32), bool)
+
+    abl = SemanticPerception(cfg.override_str(["rl.ablate_lidar=true"]))
+    params = abl.init(key, img, pts1, mask, jax.random.key(0))["params"]
+    s1 = abl.apply({"params": params}, img, pts1, mask, jax.random.key(1))
+    s2 = abl.apply({"params": params}, img, pts2, mask, jax.random.key(1))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+    full = SemanticPerception(cfg)
+    f1 = full.apply({"params": params}, img, pts1, mask, jax.random.key(1))
+    f2 = full.apply({"params": params}, img, pts2, mask, jax.random.key(1))
+    assert np.abs(np.asarray(f1) - np.asarray(f2)).max() > 1e-6
