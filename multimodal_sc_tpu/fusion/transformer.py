@@ -21,8 +21,68 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_sc_tpu.codec.camera_vit import MHA
+from multimodal_sc_tpu.kernels.mha_block import (block_eligible, mha_block,
+                                                 mha_block_reference)
 
 Array = jax.Array
+
+
+class FusedMHABlock(nn.Module):
+    """The whole ``x_q + OutProj(Attn(LN(x_q), LN(x_kv)))`` span as ONE op.
+
+    When ``use_kernel`` (and shapes are eligible) it runs the widened
+    Pallas kernel (``kernels/mha_block.py`` — VERDICT r2 item 1: swallow
+    the fusion neighborhood the r2 ``pallas_call`` boundary was blocking);
+    otherwise the XLA twin with identical semantics. Params live in the
+    kernel's packed layout (wq/wk/wv (dim, dim) head-major lanes, wo
+    (dim, dim)) — the same distributions as LayerNorm + DenseGeneral, but
+    a different tree than the unfused MHA module, so checkpoints do not
+    transfer across the ``pallas_mha_block`` flag flip.
+
+    ``self_attn=True`` shares one LayerNorm between the q and kv streams
+    (the pre-LN self-attention convention the unfused path uses).
+    """
+
+    dim: int
+    heads: int
+    self_attn: bool = False
+    use_kernel: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_q: Array, x_kv: Optional[Array] = None) -> Array:
+        if x_kv is None:
+            x_kv = x_q
+        dense = nn.initializers.lecun_normal()
+        p = {
+            "ln_q_scale": self.param("ln_q_scale", nn.initializers.ones,
+                                     (self.dim,), jnp.float32),
+            "ln_q_bias": self.param("ln_q_bias", nn.initializers.zeros,
+                                    (self.dim,), jnp.float32),
+            "wq": self.param("wq", dense, (self.dim, self.dim), jnp.float32),
+            "bq": self.param("bq", nn.initializers.zeros, (self.dim,),
+                             jnp.float32),
+            "wk": self.param("wk", dense, (self.dim, self.dim), jnp.float32),
+            "bk": self.param("bk", nn.initializers.zeros, (self.dim,),
+                             jnp.float32),
+            "wv": self.param("wv", dense, (self.dim, self.dim), jnp.float32),
+            "bv": self.param("bv", nn.initializers.zeros, (self.dim,),
+                             jnp.float32),
+            "wo": self.param("wo", dense, (self.dim, self.dim), jnp.float32),
+            "bo": self.param("bo", nn.initializers.zeros, (self.dim,),
+                             jnp.float32),
+        }
+        if self.self_attn:
+            p["ln_kv_scale"], p["ln_kv_bias"] = p["ln_q_scale"], p["ln_q_bias"]
+        else:
+            p["ln_kv_scale"] = self.param(
+                "ln_kv_scale", nn.initializers.ones, (self.dim,), jnp.float32)
+            p["ln_kv_bias"] = self.param(
+                "ln_kv_bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        if self.use_kernel and block_eligible(self.heads, self.dim,
+                                              x_kv.shape[1]):
+            return mha_block(x_q, x_kv, p, self.heads)
+        return mha_block_reference(x_q, x_kv, p, self.heads)
 
 
 class FusionLayer(nn.Module):
@@ -31,10 +91,32 @@ class FusionLayer(nn.Module):
     dim: int
     heads: int
     use_pallas: bool = False
+    fused_block: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, cam: Array, lid: Array):
+        if self.fused_block:
+            # Whole-span fused blocks (LN+QKV+attn+proj+residual each).
+            cam = FusedMHABlock(self.dim, self.heads, dtype=self.dtype,
+                                name="cam2lid_f")(cam, lid)
+            lid = FusedMHABlock(self.dim, self.heads, dtype=self.dtype,
+                                name="lid2cam_f")(lid, cam)
+            for name, x in (("cam", cam), ("lid", lid)):
+                x = FusedMHABlock(self.dim, self.heads, self_attn=True,
+                                  dtype=self.dtype, name=f"{name}_self_f")(x)
+                h = nn.LayerNorm(dtype=self.dtype, name=f"ln_{name}_mlp")(x)
+                h = nn.Dense(self.dim * 4, dtype=self.dtype,
+                             name=f"{name}_mlp1")(h)
+                h = nn.gelu(h)
+                h = nn.Dense(self.dim, dtype=self.dtype,
+                             name=f"{name}_mlp2")(h)
+                x = x + h
+                if name == "cam":
+                    cam = x
+                else:
+                    lid = x
+            return cam, lid
         # Cross: camera attends to lidar, lidar attends to camera.
         cam = cam + MHA(self.dim, self.heads, self.use_pallas, self.dtype,
                         name="cam2lid")(
@@ -75,6 +157,7 @@ class FusionTransformer(nn.Module):
     state_dim: int = 128
     mode: str = "cross_attention"
     use_pallas: bool = False
+    fused_block: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -108,7 +191,8 @@ class FusionTransformer(nn.Module):
 
         for i in range(self.depth):
             cam, lid = FusionLayer(self.dim, self.heads, self.use_pallas,
-                                   self.dtype, name=f"layer{i}")(cam, lid)
+                                   self.fused_block, self.dtype,
+                                   name=f"layer{i}")(cam, lid)
         state = nn.LayerNorm(dtype=self.dtype, name="ln_out")(cam[:, 0])
         return nn.Dense(self.state_dim, dtype=self.dtype,
                         name="state_head")(state).astype(jnp.float32)
