@@ -30,6 +30,9 @@ def main(argv=None) -> int:
     e.add_argument("--config", required=True)
     e.add_argument("--set", action="append", default=[], dest="overrides")
     e.add_argument("--out", default=None, help="curve JSON output path")
+    e.add_argument("--kinds", default="awgn,rayleigh",
+                   help="comma list of channel kinds to sweep "
+                        "(awgn,rayleigh,rician,ideal)")
 
     s = sub.add_parser("show", help="print a resolved config as JSON")
     s.add_argument("--config", required=True)
@@ -177,13 +180,15 @@ def main(argv=None) -> int:
             else:
                 target = occupancy_target(pts, mask, lid.bev_hw,
                                           lid.x_range, lid.y_range)
+            kinds = tuple(k.strip() for k in args.kinds.split(","))
             cam_curves = snr_sweep.sweep_camera(
                 cam_model, state.params["camera"], images, key,
+                kinds=kinds,
                 normalize=cfg.channel.normalize,
                 modulation=cfg.channel.modulation)
             lid_curves = snr_sweep.sweep_lidar(
                 lid_model, state.params["lidar"], pts, mask, target,
-                jax.random.fold_in(key, 0x11DA),
+                jax.random.fold_in(key, 0x11DA), kinds=kinds,
                 normalize=cfg.channel.normalize,
                 modulation=cfg.channel.modulation)
             print("camera PSNR:")
@@ -215,11 +220,11 @@ def main(argv=None) -> int:
             seg = jax.numpy.asarray(seg)
         else:
             images, seg = next(data), None
-        curves = snr_sweep.sweep_camera(model, state.params,
-                                        jax.numpy.asarray(images), key,
-                                        seg=seg,
-                                        normalize=cfg.channel.normalize,
-                                        modulation=cfg.channel.modulation)
+        curves = snr_sweep.sweep_camera(
+            model, state.params, jax.numpy.asarray(images), key, seg=seg,
+            kinds=tuple(k.strip() for k in args.kinds.split(",")),
+            normalize=cfg.channel.normalize,
+            modulation=cfg.channel.modulation)
         print(snr_sweep.format_table(curves))
         if with_seg:
             print(snr_sweep.format_table(curves, metric="miou"))

@@ -111,7 +111,8 @@ def _collect_rollout(cfg: ExperimentConfig, params, env_states, ep_return,
     return env_states, ep_return, last_return, key, rollout
 
 
-def _ppo_loss(params, batch, cfg: ExperimentConfig, key: Array):
+def _ppo_loss(params, batch, cfg: ExperimentConfig, key: Array,
+              entropy_coef):
     logits, value = ActorCritic(cfg).apply(
         {"params": params}, batch["image"], batch["points"], batch["mask"],
         key)
@@ -126,8 +127,21 @@ def _ppo_loss(params, batch, cfg: ExperimentConfig, key: Array):
     v_loss = 0.5 * jnp.mean((value - batch["ret"]) ** 2)
     entropy = -jnp.mean(jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1))
     total = (pg_loss + cfg.rl.value_coef * v_loss
-             - cfg.rl.entropy_coef * entropy)
+             - entropy_coef * entropy)
     return total, {"pg_loss": pg_loss, "v_loss": v_loss, "entropy": entropy}
+
+
+def _entropy_coef(cfg: ExperimentConfig, update: Array) -> Array:
+    """Entropy coefficient at `update`: constant, or linearly annealed to
+    rl.entropy_coef_final over train.steps updates (sharpens the policy so
+    short runs eval well greedily — r3 experiment, BASELINE.md)."""
+    c0 = cfg.rl.entropy_coef
+    c1 = cfg.rl.entropy_coef_final
+    if c1 < 0:
+        return jnp.float32(c0)
+    frac = jnp.clip(update.astype(jnp.float32)
+                    / max(1, cfg.train.steps - 1), 0.0, 1.0)
+    return jnp.float32(c0) + frac * (c1 - c0)
 
 
 def shard_state(state: PPOState, mesh, tp: bool = True) -> PPOState:
@@ -180,6 +194,7 @@ def make_train_step(cfg: ExperimentConfig):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: PPOState):
         key, k_roll, k_last, k_perm = jax.random.split(state.key, 4)
+        ent_coef = _entropy_coef(cfg, state.update)
 
         env_states, ep_return, last_return, _, ro = _collect_rollout(
             cfg, state.params, state.env_states, state.ep_return,
@@ -219,8 +234,8 @@ def make_train_step(cfg: ExperimentConfig):
                 # rollout keys would overfit to one noise draw).
                 k_i = jax.random.fold_in(k_loss_e, i)
                 (loss, aux), grads = jax.value_and_grad(
-                    lambda p: _ppo_loss(p, batch, cfg, k_i), has_aux=True)(
-                    params)
+                    lambda p: _ppo_loss(p, batch, cfg, k_i, ent_coef),
+                    has_aux=True)(params)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), (loss, aux)
@@ -242,6 +257,7 @@ def make_train_step(cfg: ExperimentConfig):
             "pg_loss": jnp.mean(auxs["pg_loss"]),
             "v_loss": jnp.mean(auxs["v_loss"]),
             "entropy": jnp.mean(auxs["entropy"]),
+            "entropy_coef": ent_coef,
             "reward": jnp.mean(ro.reward),
             "episode_return": jnp.mean(last_return),
         }

@@ -24,35 +24,98 @@ RUNS = [
             "--set", "train.steps=3000", "--set", "train.log_every=200",
             "--set", f"train.checkpoint_dir={OUT}/ckpt_c2",
             "--set", "train.checkpoint_every=1000"]),
+    # r3: Rician column added to the analog sweep (VERDICT r2 item 7).
     ("c2_sweep", ["eval", "--config", "c2",
+                  "--kinds", "awgn,rayleigh,rician",
                   "--set", f"train.checkpoint_dir={OUT}/ckpt_c2",
                   "--out", f"{OUT}/c2_curves.json"]),
+    # r3: digital-mode bar — same c2 recipe trained and swept end-to-end
+    # through the 16-QAM STE channel (VERDICT r2 item 7).
+    ("c2_digital", ["train", "--config", "c2",
+                    "--set", "channel.modulation=16",
+                    "--set", "train.steps=3000",
+                    "--set", "train.log_every=200",
+                    "--set", f"train.checkpoint_dir={OUT}/ckpt_c2d",
+                    "--set", "train.checkpoint_every=1000"]),
+    ("c2_digital_sweep", ["eval", "--config", "c2",
+                          "--set", "channel.modulation=16",
+                          "--set", f"train.checkpoint_dir={OUT}/ckpt_c2d",
+                          "--out", f"{OUT}/c2d_curves.json"]),
     ("c3", ["train", "--config", "c3",
             "--set", "train.steps=2500", "--set", "train.log_every=250",
-            "--set", "train.batch_size=32"]),
-    # c4: preset defaults are the r2 tuning (64 envs, n_step=3, eps 3000).
+            "--set", "train.batch_size=32",
+            "--set", f"train.checkpoint_dir={OUT}/ckpt_c3",
+            "--set", "train.checkpoint_every=2500"]),
+    ("c3_sweep", ["eval", "--config", "c3",
+                  "--set", "train.batch_size=32",
+                  "--set", f"train.checkpoint_dir={OUT}/ckpt_c3",
+                  "--out", f"{OUT}/c3_curves.json"]),
+    # c4: preset defaults are the r2 tuning (64 envs, n_step=3, eps 3000)
+    # + the r3 chunked dispatch (train.iters_per_dispatch=50).
     ("c4", ["train", "--config", "c4",
             "--set", "train.steps=5000", "--set", "train.log_every=500",
             "--set", f"train.checkpoint_dir={OUT}/ckpt_c4",
             "--set", "train.checkpoint_every=5000"]),
-    ("c4_eval", ["eval-policy", "--config", "c4", "--episodes", "64",
+    # 256-episode evals: SE ~1.1 instead of ~2.3 (VERDICT r2 item 8).
+    ("c4_eval", ["eval-policy", "--config", "c4", "--episodes", "256",
                  "--set", f"train.checkpoint_dir={OUT}/ckpt_c4"]),
+    # LiDAR contribution at eval time: same trained policy, LiDAR zeroed
+    # (VERDICT r2 item 5 ablation, eval arm).
+    ("c4_eval_blind", ["eval-policy", "--config", "c4", "--episodes", "256",
+                       "--set", "rl.ablate_lidar=true",
+                       "--set", f"train.checkpoint_dir={OUT}/ckpt_c4"]),
+    # Training-time ablation arm: camera-only policy, same budget.
+    ("c4_cam_only", ["train", "--config", "c4",
+                     "--set", "rl.ablate_lidar=true",
+                     "--set", "train.steps=5000",
+                     "--set", "train.log_every=500",
+                     "--set", f"train.checkpoint_dir={OUT}/ckpt_c4cam",
+                     "--set", "train.checkpoint_every=5000"]),
+    ("c4_cam_only_eval", ["eval-policy", "--config", "c4",
+                          "--episodes", "256",
+                          "--set", "rl.ablate_lidar=true",
+                          "--set", f"train.checkpoint_dir={OUT}/ckpt_c4cam"]),
     # JSCC warm-start A/B (VERDICT r1 item 5): same budget, trunk seeded
     # from the c1 camera codec checkpoint.
     ("c4_warm", ["train", "--config", "c4", "--init-from", f"{OUT}/ckpt_c1",
                  "--set", "train.steps=5000", "--set", "train.log_every=500",
                  "--set", f"train.checkpoint_dir={OUT}/ckpt_c4w",
                  "--set", "train.checkpoint_every=5000"]),
-    ("c4_warm_eval", ["eval-policy", "--config", "c4", "--episodes", "64",
+    ("c4_warm_eval", ["eval-policy", "--config", "c4", "--episodes", "256",
                       "--set", f"train.checkpoint_dir={OUT}/ckpt_c4w"]),
+    # c5 at the r2-bar budget (150 updates), both eval modes recorded in
+    # ONE artifact (VERDICT r2 item 4 — the r2 json only held the 60-update
+    # run and an rc-1 eval).
     ("c5", ["train", "--config", "c5",
-            "--set", "train.steps=60", "--set", "train.log_every=10",
+            "--set", "train.steps=150", "--set", "train.log_every=10",
             "--set", "rl.num_envs=64",
             "--set", f"train.checkpoint_dir={OUT}/ckpt_c5",
-            "--set", "train.checkpoint_every=60"]),
-    ("c5_eval", ["eval-policy", "--config", "c5", "--episodes", "64",
-                 "--set", "rl.num_envs=64",
-                 "--set", f"train.checkpoint_dir={OUT}/ckpt_c5"]),
+            "--set", "train.checkpoint_every=150"]),
+    ("c5_eval_sampled", ["eval-policy", "--config", "c5", "--sample",
+                         "--episodes", "256",
+                         "--set", "rl.num_envs=64",
+                         "--set", f"train.checkpoint_dir={OUT}/ckpt_c5"]),
+    ("c5_eval_greedy", ["eval-policy", "--config", "c5", "--episodes", "256",
+                        "--set", "rl.num_envs=64",
+                        "--set", f"train.checkpoint_dir={OUT}/ckpt_c5"]),
+    # Entropy-anneal experiment arm (r2 memory lead): 0.01 -> 0.001 over
+    # the run; expected to sharpen the policy for greedy deployment.
+    ("c5_anneal", ["train", "--config", "c5",
+                   "--set", "train.steps=150", "--set", "train.log_every=10",
+                   "--set", "rl.num_envs=64",
+                   "--set", "rl.entropy_coef_final=0.001",
+                   "--set", f"train.checkpoint_dir={OUT}/ckpt_c5a",
+                   "--set", "train.checkpoint_every=150"]),
+    ("c5_anneal_eval_greedy", ["eval-policy", "--config", "c5",
+                               "--episodes", "256",
+                               "--set", "rl.num_envs=64",
+                               "--set",
+                               f"train.checkpoint_dir={OUT}/ckpt_c5a"]),
+    ("c5_anneal_eval_sampled", ["eval-policy", "--config", "c5", "--sample",
+                                "--episodes", "256",
+                                "--set", "rl.num_envs=64",
+                                "--set",
+                                f"train.checkpoint_dir={OUT}/ckpt_c5a"]),
 ]
 
 

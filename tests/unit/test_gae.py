@@ -61,3 +61,29 @@ def test_gae_cuts_at_done():
     adv, _ = gae(rewards, values, dones, jnp.zeros((B,)), 1.0, 1.0)
     # t=1 ends an episode: adv_1 = 1; adv_0 = 1 + adv_1 = 2
     np.testing.assert_allclose(np.asarray(adv[:, 0]), [2.0, 1.0, 2.0, 1.0])
+
+
+def test_entropy_coef_schedule():
+    """Constant when entropy_coef_final < 0; linear anneal otherwise."""
+    import jax.numpy as jnp
+
+    from multimodal_sc_tpu.config.presets import get_preset
+    from multimodal_sc_tpu.rl.ppo import _entropy_coef
+
+    import numpy as np
+
+    cfg = get_preset("c5").override_str(["train.steps=101"])
+    for u in (0, 100):
+        np.testing.assert_allclose(float(_entropy_coef(cfg, jnp.int32(u))),
+                                    cfg.rl.entropy_coef, rtol=1e-6)
+
+    cfg = cfg.override_str(["rl.entropy_coef_final=0.001"])
+    np.testing.assert_allclose(float(_entropy_coef(cfg, jnp.int32(0))), 0.01,
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(_entropy_coef(cfg, jnp.int32(50))),
+                               0.0055, rtol=1e-5)
+    np.testing.assert_allclose(float(_entropy_coef(cfg, jnp.int32(100))),
+                               0.001, rtol=1e-5)
+    # Clipped past the end (resume beyond train.steps).
+    np.testing.assert_allclose(float(_entropy_coef(cfg, jnp.int32(500))),
+                               0.001, rtol=1e-5)
