@@ -417,22 +417,26 @@ def _curb_distance(cfg: EnvConfig, state: EnvState, dx: Array, dy: Array
     Returns t (R,) with LIDAR_MAX_RANGE+1 where a ray never leaves the
     road within range.
     """
-    ts = jnp.linspace(0.0, LIDAR_MAX_RANGE, _CURB_SAMPLES + 1)   # (M+1,)
+    m = _CURB_SAMPLES
+    ts = jnp.linspace(0.0, LIDAR_MAX_RANGE, m + 1)               # (M+1,)
     x = ts[None, :] * dx[:, None]                                # (R, M+1)
     y = ts[None, :] * dy[:, None]
     lat = y - _lane_poly(state.road, state.ego, x)
     off = jnp.abs(lat) - _road_half_width(cfg)                   # >0 off-road
-    crossed = off > 0.0
-    # t=0 is the ego itself: on-road in every live episode; force it so a
+    sample = jax.lax.broadcasted_iota(jnp.int32, off.shape, 1)
+    # t=0 is the ego itself: on-road in every live episode; exclude it so a
     # (transient) off-road ego doesn't make every ray "hit" at t=0.
-    crossed = crossed.at[:, 0].set(False)
-    idx = jnp.argmax(crossed, axis=1)                            # first True
-    hit = jnp.any(crossed, axis=1)
-    i = jnp.maximum(idx, 1)
-    off_lo = jnp.take_along_axis(off, (i - 1)[:, None], 1)[:, 0]
-    off_hi = jnp.take_along_axis(off, i[:, None], 1)[:, 0]
-    frac = -off_lo / jnp.where(off_hi - off_lo == 0.0, 1.0, off_hi - off_lo)
-    frac = jnp.clip(frac, 0.0, 1.0)
+    crossed = (off > 0.0) & (sample > 0)
+    # First-crossing extraction WITHOUT argmax/take gathers (gathers are
+    # slow on the TPU VPU; one-hot mask + sum picks the exact elements):
+    first = crossed & (jnp.cumsum(crossed, axis=1) == 1)         # one-hot
+    hit = jnp.any(first, axis=1)
+    i = jnp.sum(jnp.where(first, sample, 0), axis=1)             # (R,)
+    off_hi = jnp.sum(jnp.where(first, off, 0.0), axis=1)
+    prev = jnp.pad(first[:, 1:], ((0, 0), (0, 1)))               # one left
+    off_lo = jnp.sum(jnp.where(prev, off, 0.0), axis=1)
+    denom = off_hi - off_lo
+    frac = jnp.clip(-off_lo / jnp.where(denom == 0.0, 1.0, denom), 0.0, 1.0)
     dt = ts[1] - ts[0]
     t_hit = (i.astype(jnp.float32) - 1.0 + frac) * dt
     return jnp.where(hit, t_hit, LIDAR_MAX_RANGE + 1.0)
