@@ -48,6 +48,9 @@ def test_eval_policy_after_sharded_dqn_train(tmp_path, capsys):
     assert np.isfinite(out["episode_return_mean"])
 
 
+@pytest.mark.slower  # ~38 min on the 1-core CI box: full PPO train +
+# both eval modes; the sharded-DQN twin below keeps driver-eval
+# coverage inside the slow gate
 @pytest.mark.slow
 def test_eval_policy_after_ppo_train(tmp_path, capsys):
     ov = _overrides(tmp_path, steps=2)
