@@ -82,7 +82,9 @@ def test_carried_obs_invariant(key):
 
 
 def test_chunked_matches_single_dispatch(key):
-    """lax.scan-chunked iterations == the same count of single dispatches."""
+    """lax.scan-chunked iterations == the same count of single dispatches
+    (to ~1 ULP: the scanned body is a separately compiled program, so XLA
+    fusion reassociation differs)."""
     cfg = _tiny()
     s_single = dqn_lib.init(cfg, key, num_envs=4)
     s_chunk = jax.tree_util.tree_map(jnp.copy, s_single)
@@ -99,8 +101,10 @@ def test_chunked_matches_single_dispatch(key):
         stacked.extend({k: v[j] for k, v in ms.items()} for j in range(3))
     for i, (a, b) in enumerate(zip(singles, stacked)):
         for k in a:
-            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
-                                          err_msg=f"iter {i} metric {k}")
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       rtol=1e-6, atol=1e-7,
+                                       err_msg=f"iter {i} metric {k}")
     for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
                     jax.tree_util.tree_leaves(s_chunk.params)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
