@@ -35,6 +35,8 @@ def main() -> None:
         cfg = cfg.override_str(["pallas_attention=false"])
     if "--mha-block" in sys.argv:
         cfg = cfg.override_str(["pallas_mha_block=true"])
+    if "--no-mha-block" in sys.argv:   # A/B arm vs the (now default-on)
+        cfg = cfg.override_str(["pallas_mha_block=false"])  # fused block
     carry_obs = "--no-carry-obs" not in sys.argv   # r2-behavior A/B arm
     # 1024 parallel envs saturate the chip (measured: 23.5k steps/s/chip at
     # 256 envs -> 37.7k at 1024; 2048+ hits compile/HBM limits).

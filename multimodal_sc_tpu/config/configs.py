@@ -191,6 +191,14 @@ class ExperimentConfig:
     # program — kernels/mha_block.py, the r2-verdict widened-fusion
     # experiment). NOTE: changes the fusion param tree (packed weights), so
     # checkpoints do not transfer across a flip.
+    mha_block_kernel: bool = True  # EXECUTION switch for the fused blocks:
+    # True runs the Pallas kernel, False the XLA twin on the SAME packed
+    # param tree (structure is governed by pallas_mha_block alone, so
+    # checkpoints transfer across this flag). The learner losses
+    # (rl/dqn.py:_td_loss, rl/ppo.py:_ppo_loss) force it False — measured
+    # on v5e, XLA fwd+bwd with shared activations beats Pallas-fwd +
+    # twin-recompute-bwd for gradients, while the kernel wins the
+    # forward-only act path (BASELINE.md r3 A/B).
     pallas_attention: bool = False  # attention kernels only (packed-head
     # kernel at flagship shapes, generic flash otherwise). Off by default:
     # the packed kernel wins isolated but the pallas_call boundary breaks

@@ -76,6 +76,13 @@ def c4_dqn_fusion() -> ExperimentConfig:
         # checkpoint_every=500 and steps=5000).
         train=TrainConfig(task="dqn", steps=5000, batch_size=128,
                           iters_per_dispatch=50),
+        # r3: the whole-MHA-span fused Pallas block is the production
+        # default — measured on v5e it beats XLA on BOTH paths once the
+        # learner routes gradients through the XLA twin (act 38.98k vs
+        # 37.75k, act+learn 28.5k vs 27.6k steps/s/chip — BASELINE.md).
+        # Structure flag: packed param tree; tiny test overrides
+        # (fusion.dim=32) are block-ineligible and fall back to the twin.
+        pallas_mha_block=True,
     )
 
 
@@ -90,6 +97,9 @@ def c5_ppo_mesh() -> ExperimentConfig:
         fusion=FusionConfig(mode="cross_attention"),
         rl=RLConfig(algo="ppo"),
         train=TrainConfig(task="ppo", steps=500),
+        # r3: fused MHA blocks on the rollout/act path (XLA twin carries
+        # the PPO loss gradients) — see c4 note + BASELINE.md.
+        pallas_mha_block=True,
     )
 
 

@@ -92,18 +92,24 @@ class FusionLayer(nn.Module):
     heads: int
     use_pallas: bool = False
     fused_block: bool = False
+    block_kernel: bool = True   # execution only: Pallas kernel vs XLA twin
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, cam: Array, lid: Array):
         if self.fused_block:
             # Whole-span fused blocks (LN+QKV+attn+proj+residual each).
-            cam = FusedMHABlock(self.dim, self.heads, dtype=self.dtype,
+            cam = FusedMHABlock(self.dim, self.heads,
+                                use_kernel=self.block_kernel,
+                                dtype=self.dtype,
                                 name="cam2lid_f")(cam, lid)
-            lid = FusedMHABlock(self.dim, self.heads, dtype=self.dtype,
+            lid = FusedMHABlock(self.dim, self.heads,
+                                use_kernel=self.block_kernel,
+                                dtype=self.dtype,
                                 name="lid2cam_f")(lid, cam)
             for name, x in (("cam", cam), ("lid", lid)):
                 x = FusedMHABlock(self.dim, self.heads, self_attn=True,
+                                  use_kernel=self.block_kernel,
                                   dtype=self.dtype, name=f"{name}_self_f")(x)
                 h = nn.LayerNorm(dtype=self.dtype, name=f"ln_{name}_mlp")(x)
                 h = nn.Dense(self.dim * 4, dtype=self.dtype,
@@ -158,6 +164,7 @@ class FusionTransformer(nn.Module):
     mode: str = "cross_attention"
     use_pallas: bool = False
     fused_block: bool = False
+    block_kernel: bool = True   # execution only; param tree set by fused_block
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -190,8 +197,11 @@ class FusionTransformer(nn.Module):
             axis=1)
 
         for i in range(self.depth):
-            cam, lid = FusionLayer(self.dim, self.heads, self.use_pallas,
-                                   self.fused_block, self.dtype,
+            cam, lid = FusionLayer(self.dim, self.heads,
+                                   use_pallas=self.use_pallas,
+                                   fused_block=self.fused_block,
+                                   block_kernel=self.block_kernel,
+                                   dtype=self.dtype,
                                    name=f"layer{i}")(cam, lid)
         state = nn.LayerNorm(dtype=self.dtype, name="ln_out")(cam[:, 0])
         return nn.Dense(self.state_dim, dtype=self.dtype,

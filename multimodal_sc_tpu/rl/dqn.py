@@ -178,6 +178,12 @@ def _td_loss(params, target_params, batch: Transition, key: Array,
              cfg: ExperimentConfig) -> Array:
     # cfg is closed over statically at trace time (frozen dataclass, not a
     # pytree — must not be passed through jax transforms as a traced arg).
+    if cfg.pallas_mha_block and cfg.mha_block_kernel:
+        # Differentiated context: run the fused blocks through the XLA twin
+        # (same packed param tree). Measured on v5e: XLA fwd+bwd with shared
+        # activations beats Pallas-fwd + twin-recompute-bwd here, while the
+        # kernel keeps its win on the forward-only act path (BASELINE.md).
+        cfg = cfg.override(mha_block_kernel=False)
     net = QNetwork(cfg)
     k1, k2, k3 = jax.random.split(key, 3)
     q = net.apply({"params": params}, batch.image, batch.points, batch.mask, k1)

@@ -73,7 +73,8 @@ class SemanticPerception(nn.Module):
             dim=fus.dim, depth=fus.depth, heads=fus.heads,
             state_dim=fus.state_dim, mode=fus.mode,
             use_pallas=attn_pallas,
-            fused_block=self.cfg.pallas_mha_block, dtype=dtype)
+            fused_block=self.cfg.pallas_mha_block,
+            block_kernel=self.cfg.mha_block_kernel, dtype=dtype)
 
     def __call__(
         self,

@@ -113,6 +113,10 @@ def _collect_rollout(cfg: ExperimentConfig, params, env_states, ep_return,
 
 def _ppo_loss(params, batch, cfg: ExperimentConfig, key: Array,
               entropy_coef):
+    if cfg.pallas_mha_block and cfg.mha_block_kernel:
+        # Differentiated context — XLA twin on the same packed param tree
+        # (see rl/dqn.py:_td_loss; kernel stays on the fwd-only rollout).
+        cfg = cfg.override(mha_block_kernel=False)
     logits, value = ActorCritic(cfg).apply(
         {"params": params}, batch["image"], batch["points"], batch["mask"],
         key)

@@ -132,13 +132,30 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
             return False
         return True
 
+    # First-dispatch wall (compile + first run) recorded separately so the
+    # artifact can state the compile-vs-steady-state breakdown (VERDICT r2
+    # item 3: account for where training wall goes).
+    import time as _time
+
+    first_s = None
+    first_n = 0
+
+    def _mark_first(t0, done, n):
+        nonlocal first_s, first_n
+        if t0 is not None:
+            jax.block_until_ready(done)
+            first_s = _time.perf_counter() - t0
+            first_n = n
+
     with maybe_trace(cfg.train.profile_dir), Timer() as t:
         it = start_it
         while it < cfg.train.steps:
+            t0 = _time.perf_counter() if first_s is None else None
             if _chunk_ok(it):
                 # One dispatch = `chunk` scanned iterations; metrics come
                 # back stacked (chunk,) so the log cadence is unchanged.
                 state, stacked = iteration(state)
+                _mark_first(t0, stacked, chunk)
                 for j in range(chunk):
                     g = it + 1 + j
                     if g % cfg.train.log_every == 0:
@@ -150,6 +167,7 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
             else:
                 # Tail / alignment path (also the whole loop when chunk=1).
                 state, metrics = iteration_1(state)
+                _mark_first(t0, metrics, 1)
                 last = metrics
                 it += 1
                 if it % cfg.train.log_every == 0:
@@ -160,9 +178,15 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
     jax.block_until_ready(last)
     sps = steps_per_sec_per_chip(
         (cfg.train.steps - start_it) * num_envs, t.elapsed)
-    writer.write(cfg.train.steps, {**last, "agent_steps_per_sec_per_chip": sps})
+    extra = {"agent_steps_per_sec_per_chip": sps}
+    steady_steps = cfg.train.steps - start_it - first_n
+    if first_s is not None and steady_steps > 0 and t.elapsed > first_s:
+        extra["first_dispatch_s"] = round(first_s, 2)
+        extra["steady_steps_per_sec_per_chip"] = steps_per_sec_per_chip(
+            steady_steps * num_envs, t.elapsed - first_s)
+    writer.write(cfg.train.steps, {**last, **extra})
     writer.close()
     if ckpt_mgr:
         ckpt_mgr.close()
     return state, {**{k: float(v) for k, v in jax.device_get(last).items()},
-                   "agent_steps_per_sec_per_chip": sps}
+                   **extra}

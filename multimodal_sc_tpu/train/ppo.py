@@ -58,9 +58,18 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None,
     # re-saving an existing step would raise StepAlreadyExistsError and the
     # loop must not redo completed iterations.
     start_it = (ckpt_mgr.latest_step() or 0) if ckpt_mgr else 0
+    # First-update wall (compile + first run) recorded separately for the
+    # compile-vs-steady breakdown (VERDICT r2 item 3; see train/dqn.py).
+    import time as _time
+
+    first_s = None
     with maybe_trace(cfg.train.profile_dir), Timer() as t:
         for it in range(start_it, cfg.train.steps):
+            t0 = _time.perf_counter() if first_s is None else None
             state, metrics = train_step(state)
+            if t0 is not None:
+                jax.block_until_ready(metrics)
+                first_s = _time.perf_counter() - t0
             last = metrics
             if (it + 1) % cfg.train.log_every == 0:
                 writer.write(it + 1, metrics)
@@ -71,9 +80,15 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None,
     env_steps = ((cfg.train.steps - start_it)
                  * cfg.rl.rollout_length * cfg.rl.num_envs)
     sps = steps_per_sec_per_chip(env_steps, t.elapsed)
-    writer.write(cfg.train.steps, {**last, "agent_steps_per_sec_per_chip": sps})
+    extra = {"agent_steps_per_sec_per_chip": sps}
+    n_upd = cfg.train.steps - start_it
+    if first_s is not None and n_upd > 1 and t.elapsed > first_s:
+        extra["first_dispatch_s"] = round(first_s, 2)
+        extra["steady_steps_per_sec_per_chip"] = steps_per_sec_per_chip(
+            (n_upd - 1) * cfg.rl.rollout_length * cfg.rl.num_envs,
+            t.elapsed - first_s)
+    writer.write(cfg.train.steps, {**last, **extra})
     writer.close()
     if ckpt_mgr:
         ckpt_mgr.close()
-    return state, {**jax.device_get(last),
-                   "agent_steps_per_sec_per_chip": sps}
+    return state, {**jax.device_get(last), **extra}

@@ -90,6 +90,34 @@ def test_fused_module_self_attn_shares_ln(key):
     assert np.all(np.isfinite(np.asarray(y)))
 
 
+def test_mixed_execution_shares_param_tree(key):
+    """The learner runs the XLA twin and the act path the Pallas kernel on
+    ONE checkpoint: `mha_block_kernel` must change execution only, never
+    the param tree, and outputs must agree (rl/dqn.py:_td_loss relies on
+    this)."""
+    from multimodal_sc_tpu.config.presets import get_preset
+    from multimodal_sc_tpu.envs import driving
+    from multimodal_sc_tpu.rl.perception import QNetwork
+
+    cfg_k = get_preset("c4").override(
+        **{"pallas_mha_block": True, "mha_block_kernel": True})
+    cfg_t = cfg_k.override(mha_block_kernel=False)
+    es = driving.reset_batch(cfg_k.env, key, 2)
+    img, pts, mask = driving.observe_batch(cfg_k.env, es)
+    params = QNetwork(cfg_t).init(key, img, pts, mask,
+                                  jax.random.key(0))["params"]
+    params_k = QNetwork(cfg_k).init(key, img, pts, mask,
+                                    jax.random.key(0))["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_k))
+    q_t = QNetwork(cfg_t).apply({"params": params}, img, pts, mask,
+                                jax.random.key(7))
+    q_k = QNetwork(cfg_k).apply({"params": params}, img, pts, mask,
+                                jax.random.key(7))
+    np.testing.assert_allclose(np.asarray(q_k), np.asarray(q_t),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_fusion_transformer_fused_block_end_to_end(key):
     """Full fusion transformer with fused blocks: runs, differentiates, and
     produces finite outputs at flagship dims."""

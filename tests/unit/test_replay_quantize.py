@@ -61,21 +61,34 @@ def test_buffer_dtype_follows_flag(key):
 def test_iteration_trains_with_and_without_quantize(key):
     """Both paths run the fused iteration and produce close TD losses on
     the same stream (quantization error is ~1e-3 on [0,1] images)."""
-    losses = {}
+    first_losses, final_losses = {}, {}
     for flag in ("true", "false"):
-        cfg = _tiny(f"rl.replay_quantize={flag}")
+        # eps pinned at 1: actions come from the PRNG stream alone, so both
+        # arms drive IDENTICAL env trajectories (since the carried-obs
+        # change, the greedy branch acts on dequantized stored frames, so
+        # at eps<1 one argmax flip between arms forks the trajectories).
+        cfg = _tiny(f"rl.replay_quantize={flag}",
+                    "rl.eps_start=1.0", "rl.eps_end=1.0")
         state = dqn_lib.init(cfg, key, num_envs=4)
         it = dqn_lib.make_iteration(cfg)
-        loss = None
+        first = loss = None
         for _ in range(12):
             state, m = it(state)
             loss = m["loss"]
-        losses[flag] = float(loss)
-    assert np.isfinite(losses["true"]) and np.isfinite(losses["false"])
-    # Same PRNG stream, same env trajectory (actions come from fresh obs,
-    # not replay) -> losses differ only by quantization noise.
-    assert abs(losses["true"] - losses["false"]) < 0.05 * (
-        1.0 + abs(losses["false"]))
+            # Loss of the FIRST learner step: params are still identical
+            # across arms there (no updates yet), so the difference is
+            # purely replay-image quantization noise. Later losses fork
+            # chaotically as the slightly-different gradients compound —
+            # the r3 lesson: gate one-step equality, not trajectories.
+            if first is None and int(state.step) == 1:
+                first = float(loss)
+        first_losses[flag] = first
+        final_losses[flag] = float(loss)
+    assert first_losses["true"] is not None  # learner ran in both arms
+    assert np.isfinite(final_losses["true"])
+    assert np.isfinite(final_losses["false"])
+    assert abs(first_losses["true"] - first_losses["false"]) < 0.05 * (
+        1.0 + abs(first_losses["false"]))
 
 
 def test_resume_across_quantize_flip_refuses(tmp_path, key):
