@@ -206,6 +206,11 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
     # content (same bits every step).
     root_key = jax.random.fold_in(jax.random.key(cfg.train.seed), 0x5EED)
     eval_key = jax.random.fold_in(root_key, 0xE7A1)
+    # First-step wall (compile + first run) recorded separately for the
+    # compile-vs-steady breakdown (VERDICT r2 item 3; see train/dqn.py).
+    import time as _time
+
+    first_s = None
     with maybe_trace(cfg.train.profile_dir), Timer() as t:
         for step in range(start_step, cfg.train.steps):
             batch = next(batches)
@@ -214,7 +219,11 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
             else:
                 img, seg = batch, None
             sk = jax.random.fold_in(root_key, step)
+            t0 = _time.perf_counter() if first_s is None else None
             state, metrics = train_step(state, img, seg, sk)
+            if t0 is not None:
+                jax.block_until_ready(metrics)
+                first_s = _time.perf_counter() - t0
             last = metrics
             if (step + 1) % cfg.train.log_every == 0:
                 writer.write(step + 1, metrics)
@@ -227,7 +236,14 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
             if ckpt_mgr and (step + 1) % cfg.train.checkpoint_every == 0:
                 ckpt_mgr.save(step + 1, state)
     jax.block_until_ready(last)
+    out = dict(jax.device_get(last))
+    n_steps = cfg.train.steps - start_step
+    if first_s is not None and n_steps > 1 and t.elapsed > first_s:
+        out["first_dispatch_s"] = round(first_s, 2)
+        out["steady_steps_per_sec"] = round(
+            (n_steps - 1) / (t.elapsed - first_s), 2)
+    writer.write(cfg.train.steps, out)
     writer.close()
     if ckpt_mgr:
         ckpt_mgr.close()
-    return state, jax.device_get(last)
+    return state, out
