@@ -48,6 +48,10 @@ def main(argv=None) -> int:
                     help="PPO: sample the policy instead of argmax (the "
                          "training-time behavior; argmax of a high-entropy "
                          "policy can be degenerate)")
+    pe.add_argument("--eps", type=float, default=0.0,
+                    help="DQN: eval-time epsilon (standard Atari protocol "
+                         "uses 0.05; 0 = pure argmax, which can be "
+                         "degenerate for a cold-trained Q-function)")
 
     args = p.parse_args(argv)
 
@@ -120,7 +124,8 @@ def main(argv=None) -> int:
             params = _restore_params(
                 dqn_lib.init_params(cfg, key))
             out = policy_eval.evaluate_dqn(cfg, params, key,
-                                           num_envs=args.episodes)
+                                           num_envs=args.episodes,
+                                           epsilon=args.eps)
         else:
             from multimodal_sc_tpu.rl import ppo as ppo_lib
 

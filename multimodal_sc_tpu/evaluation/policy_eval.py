@@ -57,13 +57,21 @@ def _rollout_returns(
 
 
 def evaluate_dqn(cfg: ExperimentConfig, params, key: Array,
-                 num_envs: int = 32) -> Dict[str, float]:
-    """Greedy DQN policy, episodes run to cfg.env.max_steps."""
+                 num_envs: int = 32,
+                 epsilon: float = 0.0) -> Dict[str, float]:
+    """DQN policy eval, episodes run to cfg.env.max_steps.
+
+    ``epsilon=0`` is pure argmax. The standard DQN protocol (Atari) uses
+    a small eval epsilon (0.05) because a cold-trained Q-function whose
+    action gaps sit below its approximation error can collapse to a
+    constant argmax — observed on the r3 cold c4 seed (BASELINE.md):
+    greedy 3.9 vs the same checkpoint at eps 0.05 recovering the train
+    behavior. Both modes are recorded; the gate states which it uses."""
     from multimodal_sc_tpu.rl import dqn as dqn_lib
 
     def act_fn(params, img, pts, mask, k):
         return dqn_lib.act(cfg, params, img, pts, mask, k,
-                           epsilon=jnp.float32(0.0))
+                           epsilon=jnp.float32(epsilon))
 
     return _rollout_returns(cfg, params, act_fn, key, num_envs)
 

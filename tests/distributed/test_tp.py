@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from multimodal_sc_tpu.fusion.transformer import FusionTransformer
@@ -136,6 +137,7 @@ def test_tp_actually_shrinks_per_device_bytes(key):
     assert dev0_total == total - sharded_total + sharded_total // tp
 
 
+@pytest.mark.slow
 def test_dqn_iteration_under_tp_mesh(key):
     """The full DQN iteration runs under GSPMD with TP-sharded params on a
     4x2 DPxTP mesh and matches the unsharded iteration (rl/dqn.py
