@@ -31,6 +31,23 @@ def test_evaluate_dqn_random_params(key):
 
 
 @pytest.mark.slow
+def test_evaluate_dqn_epsilon_changes_behavior(key):
+    """eval epsilon plumbs through: eps=1 (pure random) must produce a
+    different action stream — and thus different returns — than argmax on
+    the same params/seed, while eps=0 twice is deterministic."""
+    from multimodal_sc_tpu.rl import dqn as dqn_lib
+
+    cfg = _tiny("c4")
+    state = dqn_lib.init(cfg, key, num_envs=4)
+    g1 = evaluate_dqn(cfg, state.params, key, num_envs=4, epsilon=0.0)
+    g2 = evaluate_dqn(cfg, state.params, key, num_envs=4, epsilon=0.0)
+    r1 = evaluate_dqn(cfg, state.params, key, num_envs=4, epsilon=1.0)
+    assert g1 == g2                                  # greedy deterministic
+    assert np.isfinite(r1["episode_return_mean"])
+    assert r1 != g1                                  # epsilon took effect
+
+
+@pytest.mark.slow
 def test_evaluate_ppo_greedy_deterministic(key):
     from multimodal_sc_tpu.rl import ppo as ppo_lib
 
