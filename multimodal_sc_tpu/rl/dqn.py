@@ -347,9 +347,18 @@ def make_iteration(cfg: ExperimentConfig, learn: bool = True,
             env_states=env_states, buffer=buf, window=window, key=key,
             step=step, ep_return=ep_return, last_return=last_return,
             obs_image=next_store, obs_points=ts.points, obs_mask=ts.mask)
+        # Entropy of the executed-action histogram: a greedy-collapse
+        # telltale (the r3 cold-c4 pathology — argmax constant on every
+        # state — shows up here as entropy -> eps-floor long before any
+        # eval runs; a healthy policy at eps=0.05 keeps this well above
+        # the ~0.3 nats the exploration noise alone contributes).
+        hist = jnp.mean(
+            jax.nn.one_hot(actions, cfg.rl.num_actions), axis=0)
+        action_entropy = -jnp.sum(hist * jnp.log(hist + 1e-9))
         metrics = {"loss": loss, "epsilon": eps,
                    "reward": jnp.mean(ts.reward),
                    "episode_return": jnp.mean(last_return),
+                   "action_entropy": action_entropy,
                    "buffer_size": buf.size.astype(jnp.float32)}
         return new_state, metrics
 

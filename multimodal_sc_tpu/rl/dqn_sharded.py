@@ -197,11 +197,16 @@ def make_iteration(cfg: ExperimentConfig, mesh, chunk: int = 1):
             warm, do_learn, skip,
             (params, target_params, opt_state, step))
 
+        # Greedy-collapse telltale, pooled over shards (see rl/dqn.py).
+        hist = jax.lax.pmean(
+            jnp.mean(jax.nn.one_hot(actions, cfg.rl.num_actions), axis=0),
+            DATA_AXIS)
         metrics = {
             "loss": loss,
             "epsilon": eps,
             "reward": jax.lax.pmean(jnp.mean(ts.reward), DATA_AXIS),
             "episode_return": jax.lax.pmean(jnp.mean(last_return), DATA_AXIS),
+            "action_entropy": -jnp.sum(hist * jnp.log(hist + 1e-9)),
             "buffer_size": buf.size.astype(jnp.float32),
         }
         return (params, target_params, opt_state, env_states,
@@ -250,7 +255,7 @@ def make_iteration(cfg: ExperimentConfig, mesh, chunk: int = 1):
             dn(jnp.ndim(state.obs_points)),
             dn(jnp.ndim(state.obs_mask)),
             {k: r for k in ("loss", "epsilon", "reward", "episode_return",
-                            "buffer_size")},
+                            "action_entropy", "buffer_size")},
         )
         out = shard_map(
             shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
