@@ -142,6 +142,12 @@ class RLConfig:
     # coefficient from entropy_coef to this value over train.steps updates
     # (sharpens the policy so short-budget runs eval well greedily);
     # negative = constant coefficient (the r2 behavior)
+    rollout_quantize: bool = False  # store PPO rollout images as uint8
+    # (4x fewer bytes on the (T*B,H,W,3) stack + its per-minibatch
+    # gathers). The loss then recomputes logits on dequantized frames —
+    # a 1/255 perturbation on top of the already-accepted resampled
+    # channel noise (_ppo_loss key note). Off until measured faster on
+    # TPU (kernel-flag convention, CLAUDE.md).
 
 
 @dataclass(frozen=True)

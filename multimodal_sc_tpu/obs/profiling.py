@@ -53,6 +53,67 @@ class NaNWatchdog:
                 )
 
 
+class CollapseWatchdog:
+    """Flags greedy-policy collapse from the executed-action entropy
+    (SURVEY §5.3 failure detection; the r3 cold-c4 pathology — argmax
+    constant on every state — BASELINE.md config-4).
+
+    At exploration rate eps, a collapsed policy's executed actions are
+    ~(1-eps) one action + eps uniform, whose entropy has a known value;
+    a healthy policy sits well above it. `consecutive` debounces the
+    normal early-training greedy phase (entropy is legitimately near the
+    floor while epsilon is still high — the floor check only arms once
+    epsilon has annealed low). Warns loudly (stderr) rather than halting:
+    collapse is a training outcome, not a corrupted state."""
+
+    def __init__(self, num_actions: int = 9, margin: float = 0.15,
+                 eps_armed: float = 0.2, consecutive: int = 3):
+        self.num_actions = num_actions
+        self.margin = margin
+        self.eps_armed = eps_armed
+        self.consecutive = consecutive
+        self._hits = 0
+        self.tripped = False
+
+    @staticmethod
+    def collapsed_entropy(eps: float, num_actions: int) -> float:
+        """Entropy of the executed-action histogram for a constant-argmax
+        policy under eps-greedy exploration."""
+        p_top = (1.0 - eps) + eps / num_actions
+        p_rest = eps / num_actions
+        h = -p_top * np.log(p_top + 1e-12)
+        h -= (num_actions - 1) * p_rest * np.log(p_rest + 1e-12)
+        return float(h)
+
+    def check(self, step: int, metrics: dict) -> None:
+        if "action_entropy" not in metrics or "epsilon" not in metrics:
+            return
+        eps = float(np.asarray(jax.device_get(metrics["epsilon"])).reshape(-1)[-1])
+        ent = float(np.asarray(jax.device_get(metrics["action_entropy"])).reshape(-1)[-1])
+        if eps > self.eps_armed:
+            self._hits = 0
+            return
+        floor = self.collapsed_entropy(eps, self.num_actions)
+        if ent < floor + self.margin:
+            self._hits += 1
+        else:
+            self._hits = 0
+        if self._hits >= self.consecutive and not self.tripped:
+            self.tripped = True
+            import sys
+
+            print(
+                f"WARNING: greedy-collapse telltale at step {step}: "
+                f"executed-action entropy {ent:.3f} is within "
+                f"{self.margin} of the constant-argmax floor "
+                f"{floor:.3f} (eps={eps:.3f}) for {self._hits} "
+                f"consecutive checks. The learned Q-function has likely "
+                f"collapsed to a constant action (BASELINE.md config-4); "
+                f"greedy eval will sit at random level. Consider the "
+                f"JSCC warm start (--init-from).",
+                file=sys.stderr, flush=True)
+
+
 def corrupt_symbols(z: jnp.ndarray, mode: str = "nan") -> jnp.ndarray:
     """Fault-injection hook: corrupt channel output (SURVEY §5.3 tests)."""
     if mode == "nan":

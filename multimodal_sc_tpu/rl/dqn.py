@@ -45,9 +45,9 @@ class Transition(NamedTuple):
 def quantize_image(cfg: ExperimentConfig, img: Array) -> Array:
     """uint8-quantize a [0,1] image for replay / n-step-window storage
     (pass-through when ``rl.replay_quantize`` is off or already uint8)."""
-    if not cfg.rl.replay_quantize or img.dtype == jnp.uint8:
+    if not cfg.rl.replay_quantize:
         return img
-    return jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return replay.quantize_frame(img)
 
 
 def quantize_obs(cfg: ExperimentConfig, trans: Transition) -> Transition:
@@ -76,9 +76,7 @@ def dequantize_obs(cfg: ExperimentConfig, batch: Transition) -> Transition:
 
 def dequantize_image(img: Array) -> Array:
     """Undo :func:`quantize_image` (identity for float stores)."""
-    if img.dtype == jnp.uint8:
-        return img.astype(jnp.float32) * (1.0 / 255.0)
-    return img
+    return replay.dequantize_frame(img)
 
 
 class DQNState(NamedTuple):

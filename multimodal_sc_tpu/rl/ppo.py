@@ -22,6 +22,7 @@ from multimodal_sc_tpu.config.configs import ExperimentConfig
 from multimodal_sc_tpu.envs import driving
 from multimodal_sc_tpu.rl.gae import gae
 from multimodal_sc_tpu.rl.perception import ActorCritic
+from multimodal_sc_tpu.rl.replay import dequantize_frame, quantize_frame
 
 Array = jax.Array
 
@@ -101,7 +102,11 @@ def _collect_rollout(cfg: ExperimentConfig, params, env_states, ep_return,
         ep_ret = ep_ret + ts.reward
         last_ret = jnp.where(ts.done, ep_ret, last_ret)
         ep_ret = jnp.where(ts.done, 0.0, ep_ret)
-        out = Rollout(image=img, points=pts, mask=mask, action=action,
+        # Store the frame at replay dtype: uint8 under rl.rollout_quantize
+        # cuts the (T,B,H,W,3) stack and its minibatch gathers to 1/4 the
+        # bytes; acting above used the full-precision render.
+        store = quantize_frame(img) if cfg.rl.rollout_quantize else img
+        out = Rollout(image=store, points=pts, mask=mask, action=action,
                       logp=logp, value=value, reward=ts.reward, done=ts.done)
         return (env_states, ep_ret, last_ret, key), out
 
@@ -118,8 +123,8 @@ def _ppo_loss(params, batch, cfg: ExperimentConfig, key: Array,
         # (see rl/dqn.py:_td_loss; kernel stays on the fwd-only rollout).
         cfg = cfg.override(mha_block_kernel=False)
     logits, value = ActorCritic(cfg).apply(
-        {"params": params}, batch["image"], batch["points"], batch["mask"],
-        key)
+        {"params": params}, dequantize_frame(batch["image"]),
+        batch["points"], batch["mask"], key)
     logp_all = jax.nn.log_softmax(logits)
     logp = jnp.take_along_axis(logp_all, batch["action"][:, None],
                                axis=-1)[:, 0]

@@ -21,6 +21,24 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def quantize_frame(img: Array) -> Array:
+    """uint8-quantize a [0,1] rendered frame for storage (replay / n-step
+    window / PPO rollout stacks). The act/learn paths run at the HBM
+    roofline (BASELINE.md), so storing frames at 1/4 the bytes is the
+    measured byte lever (+22% DQN steps/s/chip); the 1/255 step is far
+    below sensor/channel noise. Identity for already-uint8 frames."""
+    if img.dtype == jnp.uint8:
+        return img
+    return jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+def dequantize_frame(img: Array) -> Array:
+    """Inverse of :func:`quantize_frame` (identity for float frames)."""
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) * (1.0 / 255.0)
+    return img
+
+
 class ReplayBuffer(NamedTuple):
     data: Any          # pytree; each leaf (capacity, ...) preallocated
     cursor: Array      # () int32 next write slot

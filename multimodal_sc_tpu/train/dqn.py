@@ -17,7 +17,8 @@ from typing import Optional
 import jax
 
 from multimodal_sc_tpu.config.configs import ExperimentConfig
-from multimodal_sc_tpu.obs.profiling import NaNWatchdog, maybe_trace
+from multimodal_sc_tpu.obs.profiling import (CollapseWatchdog, NaNWatchdog,
+                                             maybe_trace)
 from multimodal_sc_tpu.obs.metrics_writer import (
     MetricsWriter,
     Timer,
@@ -104,6 +105,7 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
 
     writer = MetricsWriter(metrics_path, config_json=cfg.to_json())
     watchdog = NaNWatchdog()
+    collapse_dog = CollapseWatchdog(num_actions=cfg.rl.num_actions)
     ckpt_mgr = None
     if cfg.train.checkpoint_dir:
         from multimodal_sc_tpu.io.checkpoint import CheckpointManager
@@ -162,6 +164,7 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
                         m_j = {k: v[j] for k, v in stacked.items()}
                         writer.write(g, m_j)
                         watchdog.check(g, m_j)
+                        collapse_dog.check(g, m_j)
                 last = {k: v[-1] for k, v in stacked.items()}
                 it += chunk
             else:
@@ -173,6 +176,7 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
                 if it % cfg.train.log_every == 0:
                     writer.write(it, metrics)
                     watchdog.check(it, metrics)
+                    collapse_dog.check(it, metrics)
             if ckpt_mgr and it % cfg.train.checkpoint_every == 0:
                 ckpt_mgr.save(it, state)
     jax.block_until_ready(last)

@@ -79,3 +79,37 @@ def test_dqn_act_epsilon_extremes(key):
                      epsilon=jnp.float32(0.0))
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     assert np.asarray(a1).min() >= 0 and np.asarray(a1).max() < 9
+
+
+@pytest.mark.slow
+def test_ppo_rollout_quantize_runs_and_stays_close(key):
+    """rl.rollout_quantize stores rollout frames as uint8; the update must
+    run to finite metrics, and one update from identical init must land
+    within quantization-noise distance of the f32-store update (the loss
+    consumes dequantized frames whose worst-case error is 1/510/pixel —
+    same magnitude class as the accepted per-minibatch channel-noise
+    resampling, rl/ppo.py)."""
+    from multimodal_sc_tpu.rl import ppo as ppo_lib
+
+    cfg_f32 = _tiny("c5")
+    cfg_q = cfg_f32.override_str(["rl.rollout_quantize=true"])
+
+    outs = {}
+    for name, cfg in (("f32", cfg_f32), ("q", cfg_q)):
+        state = ppo_lib.init(cfg, key)
+        step = ppo_lib.make_train_step(cfg)
+        state, metrics = step(state)
+        m = jax.device_get(metrics)
+        for k in ("loss", "pg_loss", "v_loss", "entropy", "reward"):
+            assert np.isfinite(m[k]), (name, k)
+        outs[name] = (m, jax.device_get(state.params))
+
+    # Same env stream (rewards identical: acting uses the f32 render in
+    # both modes); only the stored frames differ by <=1/510.
+    assert outs["f32"][0]["reward"] == outs["q"][0]["reward"]
+    # Updated params stay close: quantization perturbs the loss inputs,
+    # not the trajectory, so one Adam step differs by o(lr).
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(a - b))),
+        outs["f32"][1], outs["q"][1])
+    assert max(jax.tree_util.tree_leaves(diffs)) < 5e-3

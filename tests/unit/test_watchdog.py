@@ -45,3 +45,44 @@ def test_fault_injection_reaches_watchdog(key):
     loss = jnp.mean((rec - img) ** 2)
     with pytest.raises(FloatingPointError):
         NaNWatchdog().check(1, {"loss": loss})
+
+
+def test_collapse_watchdog_floor_math():
+    """Constant-argmax entropy floor: eps=0 -> 0 nats; eps=1 -> uniform."""
+    import numpy as np
+
+    from multimodal_sc_tpu.obs.profiling import CollapseWatchdog
+
+    assert CollapseWatchdog.collapsed_entropy(0.0, 9) < 1e-6
+    np.testing.assert_allclose(
+        CollapseWatchdog.collapsed_entropy(1.0, 9), np.log(9), rtol=1e-6)
+
+
+def test_collapse_watchdog_trips_only_when_armed(capsys):
+    """Near-floor entropy at high eps (early training) must NOT trip; at
+    low eps it trips after `consecutive` checks and warns once."""
+    import jax.numpy as jnp
+
+    from multimodal_sc_tpu.obs.profiling import CollapseWatchdog
+
+    dog = CollapseWatchdog(num_actions=9, consecutive=3)
+    floor_lo = CollapseWatchdog.collapsed_entropy(0.05, 9)
+
+    # High epsilon: collapsed-looking entropy is normal early greed; no trip.
+    for step in range(3):
+        dog.check(step, {"epsilon": jnp.float32(0.9),
+                         "action_entropy": jnp.float32(0.1)})
+    assert not dog.tripped
+
+    # Low epsilon, healthy entropy: no trip.
+    for step in range(3):
+        dog.check(step, {"epsilon": jnp.float32(0.05),
+                         "action_entropy": jnp.float32(1.5)})
+    assert not dog.tripped
+
+    # Low epsilon, at the collapsed floor: trips on the 3rd consecutive.
+    for step in range(3):
+        dog.check(step, {"epsilon": jnp.float32(0.05),
+                         "action_entropy": jnp.float32(floor_lo + 0.01)})
+    assert dog.tripped
+    assert "greedy-collapse" in capsys.readouterr().err
