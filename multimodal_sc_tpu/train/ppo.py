@@ -63,6 +63,7 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None,
     import time as _time
 
     first_s = None
+    ckpt_s = 0.0  # in-loop checkpoint-save wall (D2H + prior-save waits)
     with maybe_trace(cfg.train.profile_dir), Timer() as t:
         for it in range(start_it, cfg.train.steps):
             t0 = _time.perf_counter() if first_s is None else None
@@ -75,20 +76,30 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None,
                 writer.write(it + 1, metrics)
                 watchdog.check(it + 1, metrics)
             if ckpt_mgr and (it + 1) % cfg.train.checkpoint_every == 0:
+                t_ck = _time.perf_counter()
                 ckpt_mgr.save(it + 1, state)
+                ckpt_s += _time.perf_counter() - t_ck
     jax.block_until_ready(last)
+    close_s = 0.0
+    if ckpt_mgr:
+        # Close before the final metrics record so the async-save drain
+        # lands in the accounted checkpoint time (see train/dqn.py).
+        t_ck = _time.perf_counter()
+        ckpt_mgr.close()
+        close_s = _time.perf_counter() - t_ck
     env_steps = ((cfg.train.steps - start_it)
                  * cfg.rl.rollout_length * cfg.rl.num_envs)
     sps = steps_per_sec_per_chip(env_steps, t.elapsed)
     extra = {"agent_steps_per_sec_per_chip": sps}
+    if ckpt_mgr:
+        extra["ckpt_save_s"] = round(ckpt_s, 2)
+        extra["ckpt_close_s"] = round(close_s, 2)
     n_upd = cfg.train.steps - start_it
-    if first_s is not None and n_upd > 1 and t.elapsed > first_s:
+    if first_s is not None and n_upd > 1 and t.elapsed > first_s + ckpt_s:
         extra["first_dispatch_s"] = round(first_s, 2)
         extra["steady_steps_per_sec_per_chip"] = steps_per_sec_per_chip(
             (n_upd - 1) * cfg.rl.rollout_length * cfg.rl.num_envs,
-            t.elapsed - first_s)
+            t.elapsed - first_s - ckpt_s)
     writer.write(cfg.train.steps, {**last, **extra})
     writer.close()
-    if ckpt_mgr:
-        ckpt_mgr.close()
     return state, {**jax.device_get(last), **extra}

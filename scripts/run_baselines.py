@@ -83,6 +83,22 @@ RUNS = [
                  "--set", "train.checkpoint_every=5000"]),
     ("c4_warm_eval", ["eval-policy", "--config", "c4", "--episodes", "256",
                       "--set", f"train.checkpoint_dir={OUT}/ckpt_c4w"]),
+    # Second seed for the per-seed c4 warm gate (the production recipe);
+    # the warm trunk source stays the seed-0 c1 codec — the seed changes
+    # the RL stream (env resets, exploration, replay sampling), which is
+    # the variance the gate is about.
+    ("c4_warm_s1", ["train", "--config", "c4",
+                    "--init-from", f"{OUT}/ckpt_c1",
+                    "--set", "train.seed=1",
+                    "--set", "train.steps=5000",
+                    "--set", "train.log_every=500",
+                    "--set", f"train.checkpoint_dir={OUT}/ckpt_c4w_s1",
+                    "--set", "train.checkpoint_every=5000"]),
+    ("c4_warm_s1_eval", ["eval-policy", "--config", "c4",
+                         "--episodes", "256",
+                         "--set", "train.seed=1",
+                         "--set",
+                         f"train.checkpoint_dir={OUT}/ckpt_c4w_s1"]),
     # c5 at the r2-bar budget (150 updates), both eval modes recorded in
     # ONE artifact (VERDICT r2 item 4 — the r2 json only held the 60-update
     # run and an rc-1 eval).
@@ -123,8 +139,20 @@ def main() -> None:
     import os
 
     os.makedirs(OUT, exist_ok=True)
+    # Optional arm filter: `run_baselines.py OUT arm1 arm2 ...` runs only
+    # the named arms and MERGES into an existing baselines.json (so
+    # supplementary arms extend the artifact instead of clobbering it).
+    only = set(sys.argv[2:])
     results = {}
+    if only and os.path.exists(f"{OUT}/baselines.json"):
+        results = json.load(open(f"{OUT}/baselines.json"))
+    unknown = only - {name for name, _ in RUNS} - {"bench"}
+    if unknown:
+        raise SystemExit(f"unknown arm(s): {sorted(unknown)}; "
+                         f"known: {[n for n, _ in RUNS] + ['bench']}")
     for name, args in RUNS:
+        if only and name not in only:
+            continue
         print(f"=== {name} ===", flush=True)
         t0 = time.time()
         proc = subprocess.run(
@@ -165,17 +193,18 @@ def main() -> None:
         with open(f"{OUT}/baselines.json", "w") as f:
             json.dump(results, f, indent=2)
 
-    t0 = time.time()
-    proc = subprocess.run([sys.executable, "bench.py"],
-                          capture_output=True, text=True)
-    results["bench"] = {
-        "wall_s": round(time.time() - t0, 1),
-        "line": proc.stdout.strip().splitlines()[-1:],
-        "returncode": proc.returncode,
-    }
-    with open(f"{OUT}/baselines.json", "w") as f:
-        json.dump(results, f, indent=2)
-    print(json.dumps(results["bench"], indent=2))
+    if not only or "bench" in only:
+        t0 = time.time()
+        proc = subprocess.run([sys.executable, "bench.py"],
+                              capture_output=True, text=True)
+        results["bench"] = {
+            "wall_s": round(time.time() - t0, 1),
+            "line": proc.stdout.strip().splitlines()[-1:],
+            "returncode": proc.returncode,
+        }
+        with open(f"{OUT}/baselines.json", "w") as f:
+            json.dump(results, f, indent=2)
+        print(json.dumps(results["bench"], indent=2))
 
 
 if __name__ == "__main__":
