@@ -53,6 +53,19 @@ def main(argv=None) -> int:
                          "uses 0.05; 0 = pure argmax, which can be "
                          "degenerate for a cold-trained Q-function)")
 
+    x = sub.add_parser(
+        "export",
+        help="serialize the trained codec/policy of a config as "
+             "standalone StableHLO deployment artifacts (jax.export): "
+             "encoder for the transmitter, decoder for the receiver, "
+             "greedy policy for the agent")
+    x.add_argument("--config", required=True)
+    x.add_argument("--set", action="append", default=[], dest="overrides")
+    x.add_argument("--out", required=True, help="artifact directory")
+    x.add_argument("--batch", type=int, default=None,
+                   help="fix the exported batch size (default: "
+                        "batch-size-polymorphic)")
+
     args = p.parse_args(argv)
 
     from multimodal_sc_tpu.runtime.cache import enable_compilation_cache
@@ -134,6 +147,67 @@ def main(argv=None) -> int:
                                            num_envs=args.episodes,
                                            greedy=not args.sample)
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "export":
+        from multimodal_sc_tpu.io import export as export_lib
+
+        key = jax.random.key(cfg.train.seed)
+
+        def _params_only(fresh):
+            if not cfg.train.checkpoint_dir:
+                print("warning: no train.checkpoint_dir set — exporting "
+                      "UNTRAINED params", file=sys.stderr)
+                return fresh
+            from multimodal_sc_tpu.io.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(cfg.train.checkpoint_dir)
+            restored = mgr.restore_params_latest(fresh)
+            mgr.close()
+            if restored is None:
+                print("warning: checkpoint dir empty — exporting UNTRAINED "
+                      "params", file=sys.stderr)
+                return fresh
+            return restored
+
+        task = cfg.train.task
+        if task == "jscc":
+            from multimodal_sc_tpu.train import jscc
+
+            params = _params_only(jscc.create_train_state(cfg, key).params)
+            parts = export_lib.export_camera_codec(cfg, params,
+                                                   batch=args.batch)
+        elif task == "jscc_fusion":
+            from multimodal_sc_tpu.train import fusion_jscc
+
+            params = _params_only(
+                fusion_jscc.create_train_state(cfg, key).params)
+            parts = {
+                # The fusion pipeline's own camera builder: param trees
+                # match the checkpoint (see the eval verb's builder note).
+                **export_lib.export_camera_codec(
+                    cfg, params["camera"], batch=args.batch,
+                    model_builder=fusion_jscc.build_camera_codec),
+                **export_lib.export_lidar_codec(cfg, params["lidar"],
+                                                batch=args.batch),
+            }
+        elif task in ("dqn", "ppo"):
+            if task == "dqn":
+                from multimodal_sc_tpu.rl import dqn as dqn_lib
+
+                fresh = dqn_lib.init_params(cfg, key)
+            else:
+                from multimodal_sc_tpu.rl import ppo as ppo_lib
+
+                fresh = ppo_lib.init_params(cfg, key)
+            parts = {"policy": export_lib.export_policy(
+                cfg, _params_only(fresh), batch=args.batch)}
+        else:
+            print(f"unknown task {task!r}", file=sys.stderr)
+            return 2
+        export_lib.save_artifact(args.out, parts, cfg)
+        print(json.dumps({"out": args.out, "parts": sorted(parts),
+                          "bytes": {k: len(v) for k, v in parts.items()}}))
         return 0
 
     if args.cmd == "eval":
