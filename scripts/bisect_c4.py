@@ -11,6 +11,13 @@ Arms:
   B no-carry   : fused tree, r2-style re-render at the top of each iter
   C r2-style   : kernel off + no carry + chunk=1 (the full r2 stack)
   D r3-trace   : production r3 stack with the eval/entropy timeline
+  E no-curbs   : r3 stack on the pre-curb env (the r2->r3 ENV delta,
+                 which arms A-D all carry)
+
+Every arm also evals the uniform average of the last 20% of param
+snapshots: train-time returns are earned by a param TRAJECTORY (one env
+step per iteration), so avg-params >> snapshot at eval is the signature
+of an oscillating (non-converging) Q-function rather than a bad one.
 
 Usage: python scripts/bisect_c4.py [outfile.json]
 """
@@ -37,16 +44,35 @@ from multimodal_sc_tpu.rl import dqn as dqn_lib  # noqa: E402
 ITERS = 5000
 
 
-def run_arm(name, cfg, carry_obs=True, chunk=50, eval_every=None):
+def run_arm(name, cfg, carry_obs=True, chunk=50, eval_every=None,
+            avg_last_frac=0.2):
     rec = {"carry_obs": carry_obs, "chunk": chunk, "trace": []}
     try:
         state = dqn_lib.init(cfg, jax.random.key(0), cfg.rl.num_envs)
         it = dqn_lib.make_iteration(cfg, carry_obs=carry_obs, chunk=chunk)
         t0 = time.time()
         last = None
-        for i in range(ITERS // chunk):
+        n_disp = ITERS // chunk
+        # Oscillation probe: uniform param average over the last fraction
+        # of dispatches. Train-time episodes span ~max_steps ITERATIONS
+        # (one env step per iteration, params updating every step), so the
+        # train return is earned by a param TRAJECTORY; if snapshots
+        # collapse to constant-argmax while this average evals well, the
+        # Q-function is oscillating around a good mean rather than
+        # converging (train 29 vs eval 3.95 at the SAME epsilon).
+        avg_start = int(n_disp * (1.0 - avg_last_frac))
+        p_avg, n_avg = None, 0
+        for i in range(n_disp):
             state, m = it(state)
             last = m
+            if i >= avg_start:
+                # Copy on first touch: `state` is donated into the next
+                # dispatch, so aliasing its buffers would dangle.
+                p_avg = (jax.tree_util.tree_map(jnp.copy, state.params)
+                         if p_avg is None else
+                         jax.tree_util.tree_map(jnp.add, p_avg,
+                                                state.params))
+                n_avg += 1
             done_iters = (i + 1) * chunk
             if eval_every and done_iters % eval_every == 0:
                 out = policy_eval.evaluate_dqn(
@@ -75,6 +101,14 @@ def run_arm(name, cfg, carry_obs=True, chunk=50, eval_every=None):
                 epsilon=eps)
             rec[f"eval_{label}"] = {
                 k: round(v, 3) for k, v in out.items()}
+        if n_avg:
+            scale = 1.0 / n_avg
+            p_mean = jax.tree_util.tree_map(lambda x: x * scale, p_avg)
+            out = policy_eval.evaluate_dqn(
+                cfg, p_mean, jax.random.key(0), num_envs=256, epsilon=0.0)
+            rec["eval_greedy_avgparams"] = {
+                k: round(v, 3) for k, v in out.items()}
+            rec["avg_dispatches"] = n_avg
         print(f"{name}: {json.dumps(rec)[:400]}", flush=True)
     except Exception:
         rec["error"] = traceback.format_exc()
@@ -93,6 +127,12 @@ def main():
         "C r2-style", base.override_str(["pallas_mha_block=false"]),
         carry_obs=False, chunk=1)
     results["D_r3_trace"] = run_arm("D r3-trace", base, eval_every=1000)
+    # Env-change arm: the r2->r3 env delta (curb returns in the LiDAR
+    # scan) is in EVERY arm above; this one removes it. If A-D all
+    # collapse and E learns, the collapse is the richer point cloud, not
+    # the r3 execution stack.
+    results["E_no_curbs"] = run_arm(
+        "E no-curbs", base.override_str(["env.lidar_road=false"]))
     with open(outfile, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {outfile}")
