@@ -118,6 +118,11 @@ class RLConfig:
     replay_capacity: int = 16384
     batch_size: int = 128
     target_update_period: int = 200
+    target_tau: float = 0.0       # >0: soft (Polyak) target update
+    # target <- (1-tau)*target + tau*params every learn step, instead of
+    # the hard periodic copy above. Standard value-learning stabilizer
+    # (dampens the TD-target oscillation behind the cold-c4 chattering
+    # diagnosis, BASELINE.md config-4); 0 keeps the hard-sync behavior.
     eps_start: float = 1.0
     eps_end: float = 0.05
     eps_decay_steps: int = 20000

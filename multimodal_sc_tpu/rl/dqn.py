@@ -320,9 +320,16 @@ def make_iteration(cfg: ExperimentConfig, learn: bool = True,
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             step = step + 1
-            sync = (step % cfg.rl.target_update_period) == 0
-            target_params = jax.tree_util.tree_map(
-                lambda t, p: jnp.where(sync, p, t), target_params, params)
+            if cfg.rl.target_tau > 0:
+                # Soft (Polyak) target: every learn step, no hard jumps.
+                tau = cfg.rl.target_tau
+                target_params = jax.tree_util.tree_map(
+                    lambda t, p: (1.0 - tau) * t + tau * p,
+                    target_params, params)
+            else:
+                sync = (step % cfg.rl.target_update_period) == 0
+                target_params = jax.tree_util.tree_map(
+                    lambda t, p: jnp.where(sync, p, t), target_params, params)
             return params, target_params, opt_state, step, loss
 
         def skip(args):

@@ -183,9 +183,17 @@ def make_iteration(cfg: ExperimentConfig, mesh, chunk: int = 1):
             params = jax.tree_util.tree_map(
                 lambda p, u: p + u, params, updates)
             step = step + 1
-            sync = (step % cfg.rl.target_update_period) == 0
-            target_params = jax.tree_util.tree_map(
-                lambda t, p: jnp.where(sync, p, t), target_params, params)
+            if cfg.rl.target_tau > 0:
+                # Soft (Polyak) target — mirrors the unsharded twin.
+                tau = cfg.rl.target_tau
+                target_params = jax.tree_util.tree_map(
+                    lambda t, p: (1.0 - tau) * t + tau * p,
+                    target_params, params)
+            else:
+                sync = (step % cfg.rl.target_update_period) == 0
+                target_params = jax.tree_util.tree_map(
+                    lambda t, p: jnp.where(sync, p, t), target_params,
+                    params)
             return params, target_params, opt_state, step, loss
 
         def skip(args):

@@ -82,6 +82,49 @@ def test_dqn_act_epsilon_extremes(key):
 
 
 @pytest.mark.slow
+def test_dqn_soft_target_update(key):
+    """rl.target_tau > 0 Polyak-averages the target every learn step;
+    tau=0 keeps the hard periodic copy (target frozen until the period)."""
+    from multimodal_sc_tpu.rl import dqn as dqn_lib
+
+    def run(extra):
+        cfg = _tiny("c4").override_str(
+            ["rl.batch_size=8", "rl.eps_decay_steps=100", *extra])
+        state = dqn_lib.init(cfg, key, num_envs=4)
+        init_target = jax.tree_util.tree_map(jnp.copy, state.target_params)
+        it = dqn_lib.make_iteration(cfg)
+        for _ in range(4):  # buffer warm (>=8) after 2 iters; >=2 learn steps
+            state, m = it(state)
+        assert float(m["loss"]) != 0.0, "learner never engaged"
+        return init_target, state
+
+    # tau=1: the target IS the online params after any learn step.
+    init_t, s = run(["rl.target_tau=1.0"])
+    jax.tree_util.tree_map(
+        lambda t, p: np.testing.assert_array_equal(np.asarray(t),
+                                                   np.asarray(p)),
+        s.target_params, s.params)
+
+    # tau=0 (default), long period: target still at its initial copy.
+    init_t, s = run(["rl.target_update_period=1000"])
+    jax.tree_util.tree_map(
+        lambda t, t0: np.testing.assert_array_equal(np.asarray(t),
+                                                    np.asarray(t0)),
+        s.target_params, init_t)
+
+    # 0 < tau < 1: target strictly between its init and the online params.
+    init_t, s = run(["rl.target_tau=0.5"])
+    moved = jax.tree_util.tree_map(
+        lambda t, t0: float(np.max(np.abs(np.asarray(t) - np.asarray(t0)))),
+        s.target_params, init_t)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0
+    not_equal = jax.tree_util.tree_map(
+        lambda t, p: float(np.max(np.abs(np.asarray(t) - np.asarray(p)))),
+        s.target_params, s.params)
+    assert max(jax.tree_util.tree_leaves(not_equal)) > 0.0
+
+
+@pytest.mark.slow
 def test_ppo_rollout_quantize_runs_and_stays_close(key):
     """rl.rollout_quantize stores rollout frames as uint8; the update must
     run to finite metrics, and one update from identical init must land
