@@ -159,10 +159,11 @@ class RLConfig:
 class TrainConfig:
     task: str = "jscc"            # jscc | dqn | ppo
     steps: int = 1000
-    iters_per_dispatch: int = 1   # DQN driver: lax.scan this many iterations
-    # per device dispatch (amortizes host dispatch latency; metrics cadence
-    # preserved — the scan returns per-iteration metrics stacked).
-    # checkpoint_every must be a multiple when checkpointing is enabled.
+    iters_per_dispatch: int = 1   # DQN + JSCC drivers: lax.scan this many
+    # steps per device dispatch (amortizes the per-dispatch host round
+    # trip; metrics cadence preserved — the scan returns per-step metrics
+    # stacked). Falls back to single steps around eval/checkpoint
+    # boundaries so their cadence stays exact.
     batch_size: int = 64
     lr: float = 1e-3
     warmup_steps: int = 100

@@ -105,7 +105,9 @@ def reconstruct(
                            modulation)
 
 
-def make_train_step(cfg: ExperimentConfig, model):
+def _step_body(cfg: ExperimentConfig, model):
+    """Un-jitted single train step; shared by the per-step and chunked
+    dispatch paths (identical numerics either way)."""
     kind = cfg.channel.kind
     normalize = cfg.channel.normalize
     modulation = cfg.channel.modulation
@@ -126,8 +128,7 @@ def make_train_step(cfg: ExperimentConfig, model):
                             method="decode")
         return jnp.mean(jnp.square(recon - img)), (recon, None)
 
-    @jax.jit
-    def train_step(state: TrainState, img: Array, seg, key: Array):
+    def body(state: TrainState, img: Array, seg, key: Array):
         ksnr, kch = jax.random.split(key)
         snr_db = _sample_snr(cfg, ksnr, img.shape[0])
         (loss, (recon, seg_logits)), grads = jax.value_and_grad(
@@ -141,7 +142,39 @@ def make_train_step(cfg: ExperimentConfig, model):
             metrics["miou"] = miou(pred, seg, cfg.camera.seg_classes)
         return state, metrics
 
-    return train_step
+    return body
+
+
+def make_train_step(cfg: ExperimentConfig, model):
+    return jax.jit(_step_body(cfg, model))
+
+
+def make_train_step_chunked(cfg: ExperimentConfig, model, chunk: int):
+    """``chunk`` train steps per device dispatch via ``lax.scan``.
+
+    One dispatch consumes ``chunk`` stacked batches; per-step PRNG keys
+    still derive from the GLOBAL step index (``fold_in(root_key, step)``,
+    resume determinism), so the stream is identical to ``chunk`` single
+    dispatches. Amortizes the per-dispatch host round trip, which
+    dominates the c1/c2 training wall through the axon tunnel the same
+    way it dominated c4's (VERDICT r2 item 3; train/dqn.py chunking).
+    Metrics come back stacked ``(chunk,)`` per key."""
+    body = _step_body(cfg, model)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chunked(state: TrainState, imgs: Array, segs, root_key: Array,
+                step0: Array):
+        def scan_body(s, inp):
+            img, seg, i = inp
+            return body(s, img, seg, jax.random.fold_in(root_key, step0 + i))
+
+        segs_in = (segs if segs is not None
+                   else jnp.zeros((chunk,), jnp.int32))  # unused placeholder
+        return jax.lax.scan(
+            scan_body, state,
+            (imgs, segs_in, jnp.arange(chunk, dtype=jnp.int32)))
+
+    return chunked
 
 
 def make_eval_step(cfg: ExperimentConfig, model):
@@ -210,40 +243,94 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
     # compile-vs-steady breakdown (VERDICT r2 item 3; see train/dqn.py).
     import time as _time
 
+    chunk = max(1, cfg.train.iters_per_dispatch)
+    chunked_step = (make_train_step_chunked(cfg, model, chunk)
+                    if chunk > 1 else None)
+
+    def _chunk_ok(step: int) -> bool:
+        """Chunked dispatch only when it keeps the eval/checkpoint cadence
+        exact: aligned start, no overrun, and no eval or checkpoint
+        boundary strictly inside the chunk (state is only on host at
+        dispatch boundaries). Log cadence survives chunking — metrics come
+        back stacked per step."""
+        if chunk == 1 or step % chunk != 0 or step + chunk > cfg.train.steps:
+            return False
+        for j in range(1, chunk):
+            g = step + j
+            if g % cfg.train.eval_every == 0:
+                return False
+            if ckpt_mgr and g % cfg.train.checkpoint_every == 0:
+                return False
+        return True
+
+    def _next_batch():
+        b = next(batches)
+        return b if with_seg else (b, None)
+
     first_s = None
+    first_n = 0
+    ckpt_s = 0.0
     with maybe_trace(cfg.train.profile_dir), Timer() as t:
-        for step in range(start_step, cfg.train.steps):
-            batch = next(batches)
-            if with_seg:
-                img, seg = batch
-            else:
-                img, seg = batch, None
-            sk = jax.random.fold_in(root_key, step)
+        step = start_step
+        while step < cfg.train.steps:
             t0 = _time.perf_counter() if first_s is None else None
-            state, metrics = train_step(state, img, seg, sk)
-            if t0 is not None:
-                jax.block_until_ready(metrics)
-                first_s = _time.perf_counter() - t0
-            last = metrics
-            if (step + 1) % cfg.train.log_every == 0:
-                writer.write(step + 1, metrics)
-                watchdog.check(step + 1, metrics)
-            if (step + 1) % cfg.train.eval_every == 0:
+            if _chunk_ok(step):
+                pairs = [_next_batch() for _ in range(chunk)]
+                imgs = jnp.stack([p[0] for p in pairs])
+                segs = (jnp.stack([p[1] for p in pairs])
+                        if with_seg else None)
+                state, stacked = chunked_step(state, imgs, segs, root_key,
+                                              jnp.int32(step))
+                if t0 is not None:
+                    jax.block_until_ready(stacked["loss"])
+                    first_s = _time.perf_counter() - t0
+                    first_n = chunk
+                for j in range(chunk):
+                    g = step + 1 + j
+                    if g % cfg.train.log_every == 0:
+                        m_j = {k: v[j] for k, v in stacked.items()}
+                        writer.write(g, m_j)
+                        watchdog.check(g, m_j)
+                last = {k: v[-1] for k, v in stacked.items()}
+                step += chunk
+            else:
+                img, seg = _next_batch()
+                sk = jax.random.fold_in(root_key, step)
+                state, metrics = train_step(state, img, seg, sk)
+                if t0 is not None:
+                    jax.block_until_ready(metrics)
+                    first_s = _time.perf_counter() - t0
+                    first_n = 1
+                last = metrics
+                step += 1
+                if step % cfg.train.log_every == 0:
+                    writer.write(step, metrics)
+                    watchdog.check(step, metrics)
+            if step % cfg.train.eval_every == 0:
                 ep = eval_step(state.params, eval_img, eval_snr,
-                               jax.random.fold_in(eval_key, step))
-                last = {**metrics, "eval_psnr": ep}
-                writer.write(step + 1, {"eval_psnr": ep})
-            if ckpt_mgr and (step + 1) % cfg.train.checkpoint_every == 0:
-                ckpt_mgr.save(step + 1, state)
+                               jax.random.fold_in(eval_key, step - 1))
+                last = {**last, "eval_psnr": ep}
+                writer.write(step, {"eval_psnr": ep})
+            if ckpt_mgr and step % cfg.train.checkpoint_every == 0:
+                t_ck = _time.perf_counter()
+                ckpt_mgr.save(step, state)
+                ckpt_s += _time.perf_counter() - t_ck
     jax.block_until_ready(last)
+    close_s = 0.0
+    if ckpt_mgr:
+        t_ck = _time.perf_counter()
+        ckpt_mgr.close()
+        close_s = _time.perf_counter() - t_ck
     out = dict(jax.device_get(last))
     n_steps = cfg.train.steps - start_step
-    if first_s is not None and n_steps > 1 and t.elapsed > first_s:
+    if ckpt_mgr:
+        out["ckpt_save_s"] = round(ckpt_s, 2)
+        out["ckpt_close_s"] = round(close_s, 2)
+    if first_s is not None and n_steps > first_n and \
+            t.elapsed > first_s + ckpt_s:
         out["first_dispatch_s"] = round(first_s, 2)
         out["steady_steps_per_sec"] = round(
-            (n_steps - 1) / (t.elapsed - first_s), 2)
+            (n_steps - first_n) / (t.elapsed - first_s - ckpt_s), 2)
     writer.write(cfg.train.steps, out)
     writer.close()
-    if ckpt_mgr:
-        ckpt_mgr.close()
     return state, out
