@@ -115,12 +115,13 @@ def create_train_state(cfg: ExperimentConfig, key: Array) -> TrainState:
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
-def make_train_step(cfg: ExperimentConfig):
+def _step_body(cfg: ExperimentConfig):
+    """Un-jitted single train step; shared by the per-step and chunked
+    dispatch paths (identical numerics either way — see train/jscc.py)."""
     model = LateFusionJSCC(cfg)
     lid = cfg.lidar
     semantic = lid.seg_classes > 1
 
-    @jax.jit
     def train_step(state: TrainState, img, pts, mask, cls, key):
         ksnr, kch = jax.random.split(key)
         if cfg.channel.random_snr:
@@ -172,6 +173,42 @@ def make_train_step(cfg: ExperimentConfig):
     return train_step
 
 
+def make_train_step(cfg: ExperimentConfig):
+    return jax.jit(_step_body(cfg))
+
+
+def make_train_step_chunked(cfg: ExperimentConfig, chunk: int):
+    """``chunk`` fusion train steps per device dispatch via ``lax.scan``.
+
+    Images come stacked from the host; the synthetic point clouds are
+    generated IN-GRAPH from the same ``fold_in(data_key, global_step)``
+    stream the host loop uses, so the chunked run is step-for-step
+    identical while eliminating both the per-step dispatch round trip
+    and the per-step point-cloud transfer."""
+    import functools
+
+    body = _step_body(cfg)
+    batch = cfg.train.batch_size
+    lid = cfg.lidar
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chunked(state: TrainState, imgs: Array, root_key: Array,
+                data_key: Array, step0: Array):
+        def scan_body(s, inp):
+            img, i = inp
+            pts, mask, cls = synthetic_pointcloud_batch(
+                jax.random.fold_in(data_key, step0 + i), batch,
+                lid.max_points, lid.x_range, lid.y_range, with_classes=True)
+            return body(s, img, pts, mask, cls,
+                        jax.random.fold_in(root_key, step0 + i))
+
+        return jax.lax.scan(
+            scan_body, state,
+            (imgs, jnp.arange(chunk, dtype=jnp.int32)))
+
+    return chunked
+
+
 def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
     key = jax.random.key(cfg.train.seed)
     key, init_key = jax.random.split(key)
@@ -198,24 +235,84 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
     # key(seed) here would make channel/SNR draws correlate with image
     # content (same bits every step).
     root_key = jax.random.fold_in(jax.random.key(cfg.train.seed), 0x5EED)
+    data_key = jax.random.key(cfg.train.seed + 1)
+    chunk = max(1, cfg.train.iters_per_dispatch)
+    chunked_step = (make_train_step_chunked(cfg, chunk)
+                    if chunk > 1 else None)
+
+    def _chunk_ok(step: int) -> bool:
+        """See train/jscc.py — exact checkpoint cadence around chunks."""
+        if chunk == 1 or step % chunk != 0 or step + chunk > cfg.train.steps:
+            return False
+        if ckpt_mgr and any((step + j) % cfg.train.checkpoint_every == 0
+                            for j in range(1, chunk)):
+            return False
+        return True
+
+    import time as _time
+
+    first_s = None
+    first_n = 0
+    ckpt_s = 0.0
     last = {}
     with maybe_trace(cfg.train.profile_dir), Timer() as t:
-        for step in range(start_step, cfg.train.steps):
-            img = jnp.asarray(next(data))
-            kd = jax.random.fold_in(jax.random.key(cfg.train.seed + 1), step)
-            pts, mask, cls = synthetic_pointcloud_batch(
-                kd, cfg.train.batch_size, cfg.lidar.max_points,
-                cfg.lidar.x_range, cfg.lidar.y_range, with_classes=True)
-            sk = jax.random.fold_in(root_key, step)
-            state, metrics = train_step(state, img, pts, mask, cls, sk)
-            last = metrics
-            if (step + 1) % cfg.train.log_every == 0:
-                writer.write(step + 1, metrics)
-                watchdog.check(step + 1, metrics)
-            if ckpt_mgr and (step + 1) % cfg.train.checkpoint_every == 0:
-                ckpt_mgr.save(step + 1, state)
+        step = start_step
+        while step < cfg.train.steps:
+            t0 = _time.perf_counter() if first_s is None else None
+            if _chunk_ok(step):
+                imgs = jnp.stack([jnp.asarray(next(data))
+                                  for _ in range(chunk)])
+                state, stacked = chunked_step(state, imgs, root_key,
+                                              data_key, jnp.int32(step))
+                if t0 is not None:
+                    jax.block_until_ready(stacked["loss"])
+                    first_s = _time.perf_counter() - t0
+                    first_n = chunk
+                for j in range(chunk):
+                    g = step + 1 + j
+                    if g % cfg.train.log_every == 0:
+                        m_j = {k: v[j] for k, v in stacked.items()}
+                        writer.write(g, m_j)
+                        watchdog.check(g, m_j)
+                last = {k: v[-1] for k, v in stacked.items()}
+                step += chunk
+            else:
+                img = jnp.asarray(next(data))
+                pts, mask, cls = synthetic_pointcloud_batch(
+                    jax.random.fold_in(data_key, step), cfg.train.batch_size,
+                    cfg.lidar.max_points, cfg.lidar.x_range,
+                    cfg.lidar.y_range, with_classes=True)
+                sk = jax.random.fold_in(root_key, step)
+                state, metrics = train_step(state, img, pts, mask, cls, sk)
+                if t0 is not None:
+                    jax.block_until_ready(metrics)
+                    first_s = _time.perf_counter() - t0
+                    first_n = 1
+                last = metrics
+                step += 1
+                if step % cfg.train.log_every == 0:
+                    writer.write(step, metrics)
+                    watchdog.check(step, metrics)
+            if ckpt_mgr and step % cfg.train.checkpoint_every == 0:
+                t_ck = _time.perf_counter()
+                ckpt_mgr.save(step, state)
+                ckpt_s += _time.perf_counter() - t_ck
     jax.block_until_ready(last)
-    writer.close()
+    close_s = 0.0
     if ckpt_mgr:
+        t_ck = _time.perf_counter()
         ckpt_mgr.close()
-    return state, jax.device_get(last)
+        close_s = _time.perf_counter() - t_ck
+    out = dict(jax.device_get(last))
+    n_steps = cfg.train.steps - start_step
+    if ckpt_mgr:
+        out["ckpt_save_s"] = round(ckpt_s, 2)
+        out["ckpt_close_s"] = round(close_s, 2)
+    if first_s is not None and n_steps > first_n and \
+            t.elapsed > first_s + ckpt_s:
+        out["first_dispatch_s"] = round(first_s, 2)
+        out["steady_steps_per_sec"] = round(
+            (n_steps - first_n) / (t.elapsed - first_s - ckpt_s), 2)
+    writer.write(cfg.train.steps, out)
+    writer.close()
+    return state, out
