@@ -159,7 +159,7 @@ class RLConfig:
 class TrainConfig:
     task: str = "jscc"            # jscc | dqn | ppo
     steps: int = 1000
-    iters_per_dispatch: int = 1   # DQN + JSCC drivers: lax.scan this many
+    iters_per_dispatch: int = 1   # All training drivers: lax.scan this many
     # steps per device dispatch (amortizes the per-dispatch host round
     # trip; metrics cadence preserved — the scan returns per-step metrics
     # stacked). Falls back to single steps around eval/checkpoint

@@ -188,7 +188,9 @@ def shard_state(state: PPOState, mesh, tp: bool = True) -> PPOState:
     )
 
 
-def make_train_step(cfg: ExperimentConfig):
+def _update_body(cfg: ExperimentConfig):
+    """Un-jitted full PPO update (rollout + GAE + minibatch epochs);
+    shared by the per-update and chunked dispatch paths."""
     tx = make_optimizer(cfg)
     T, B = cfg.rl.rollout_length, cfg.rl.num_envs
     n_mb = cfg.rl.num_minibatches
@@ -198,9 +200,6 @@ def make_train_step(cfg: ExperimentConfig):
             f"num_minibatches ({n_mb}); the tail would be silently dropped")
     mb_size = (T * B) // n_mb
 
-    import functools
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: PPOState):
         key, k_roll, k_last, k_perm = jax.random.split(state.key, 4)
         ent_coef = _entropy_coef(cfg, state.update)
@@ -273,3 +272,27 @@ def make_train_step(cfg: ExperimentConfig):
         return new_state, metrics
 
     return train_step
+
+
+def make_train_step(cfg: ExperimentConfig):
+    import functools
+
+    return functools.partial(jax.jit, donate_argnums=(0,))(_update_body(cfg))
+
+
+def make_train_step_chunked(cfg: ExperimentConfig, chunk: int):
+    """``chunk`` full PPO updates per device dispatch via ``lax.scan``.
+
+    The update is self-contained (env rollout, GAE, epochs all in-graph;
+    PRNG threaded through PPOState), so chunking is a pure scan with
+    identical numerics — it only removes the per-update host round trip.
+    Metrics come back stacked ``(chunk,)`` per key."""
+    import functools
+
+    body = _update_body(cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chunked(state: PPOState):
+        return jax.lax.scan(lambda s, _: body(s), state, None, length=chunk)
+
+    return chunked

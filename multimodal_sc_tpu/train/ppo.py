@@ -62,22 +62,54 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None,
     # compile-vs-steady breakdown (VERDICT r2 item 3; see train/dqn.py).
     import time as _time
 
+    chunk = max(1, cfg.train.iters_per_dispatch)
+    chunked_step = (ppo_lib.make_train_step_chunked(cfg, chunk)
+                    if chunk > 1 else None)
+
+    def _chunk_ok(it: int) -> bool:
+        """See train/dqn.py — exact checkpoint cadence around chunks."""
+        if chunk == 1 or it % chunk != 0 or it + chunk > cfg.train.steps:
+            return False
+        if ckpt_mgr and any((it + j) % cfg.train.checkpoint_every == 0
+                            for j in range(1, chunk)):
+            return False
+        return True
+
     first_s = None
+    first_n = 0
     ckpt_s = 0.0  # in-loop checkpoint-save wall (D2H + prior-save waits)
     with maybe_trace(cfg.train.profile_dir), Timer() as t:
-        for it in range(start_it, cfg.train.steps):
+        it = start_it
+        while it < cfg.train.steps:
             t0 = _time.perf_counter() if first_s is None else None
-            state, metrics = train_step(state)
-            if t0 is not None:
-                jax.block_until_ready(metrics)
-                first_s = _time.perf_counter() - t0
-            last = metrics
-            if (it + 1) % cfg.train.log_every == 0:
-                writer.write(it + 1, metrics)
-                watchdog.check(it + 1, metrics)
-            if ckpt_mgr and (it + 1) % cfg.train.checkpoint_every == 0:
+            if _chunk_ok(it):
+                state, stacked = chunked_step(state)
+                if t0 is not None:
+                    jax.block_until_ready(stacked["loss"])
+                    first_s = _time.perf_counter() - t0
+                    first_n = chunk
+                for j in range(chunk):
+                    g = it + 1 + j
+                    if g % cfg.train.log_every == 0:
+                        m_j = {k: v[j] for k, v in stacked.items()}
+                        writer.write(g, m_j)
+                        watchdog.check(g, m_j)
+                last = {k: v[-1] for k, v in stacked.items()}
+                it += chunk
+            else:
+                state, metrics = train_step(state)
+                if t0 is not None:
+                    jax.block_until_ready(metrics)
+                    first_s = _time.perf_counter() - t0
+                    first_n = 1
+                last = metrics
+                it += 1
+                if it % cfg.train.log_every == 0:
+                    writer.write(it, metrics)
+                    watchdog.check(it, metrics)
+            if ckpt_mgr and it % cfg.train.checkpoint_every == 0:
                 t_ck = _time.perf_counter()
-                ckpt_mgr.save(it + 1, state)
+                ckpt_mgr.save(it, state)
                 ckpt_s += _time.perf_counter() - t_ck
     jax.block_until_ready(last)
     close_s = 0.0
@@ -95,10 +127,11 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None,
         extra["ckpt_save_s"] = round(ckpt_s, 2)
         extra["ckpt_close_s"] = round(close_s, 2)
     n_upd = cfg.train.steps - start_it
-    if first_s is not None and n_upd > 1 and t.elapsed > first_s + ckpt_s:
+    if first_s is not None and n_upd > first_n and \
+            t.elapsed > first_s + ckpt_s:
         extra["first_dispatch_s"] = round(first_s, 2)
         extra["steady_steps_per_sec_per_chip"] = steps_per_sec_per_chip(
-            (n_upd - 1) * cfg.rl.rollout_length * cfg.rl.num_envs,
+            (n_upd - first_n) * cfg.rl.rollout_length * cfg.rl.num_envs,
             t.elapsed - first_s - ckpt_s)
     writer.write(cfg.train.steps, {**last, **extra})
     writer.close()

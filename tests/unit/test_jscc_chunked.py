@@ -7,6 +7,7 @@ state equality at float-noise scale, metric trajectory at rtol 1e-6."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodal_sc_tpu.config.presets import get_preset
 from multimodal_sc_tpu.train import jscc
@@ -115,6 +116,40 @@ def test_fusion_chunked_matches_singles(key):
     # Metric trajectories are the gate (see test_chunked_matches_singles);
     # the 4-step metric match above requires the same params at every
     # step boundary to float precision.
+
+
+@pytest.mark.slow
+def test_ppo_chunked_matches_singles(key):
+    """PPO updates are self-contained (PRNG in state), so a chunked scan
+    is identical by construction — pin the metric trajectory anyway."""
+    from multimodal_sc_tpu.rl import ppo as ppo_lib
+
+    cfg = get_preset("c5").override_str([
+        "camera.features=8,16,16,16", "camera.c_sym=2",
+        "camera.image_hw=16,16", "env.image_hw=16,16",
+        "lidar.pillar_dim=16", "lidar.c_sym=2", "lidar.bev_hw=8,8",
+        "fusion.dim=32", "fusion.depth=1", "fusion.heads=2",
+        "fusion.state_dim=32", "env.num_npcs=2", "env.lidar_rays=16",
+        "rl.num_envs=4", "rl.rollout_length=8", "rl.num_minibatches=2",
+        "rl.ppo_epochs=1",
+    ])
+    s_single = ppo_lib.init(cfg, key)
+    s_chunk = jax.tree_util.tree_map(jnp.copy, s_single)
+    single = ppo_lib.make_train_step(cfg)
+    chunked = ppo_lib.make_train_step_chunked(cfg, 2)
+
+    singles = []
+    for _ in range(2):
+        s_single, m = single(s_single)
+        singles.append(m)
+    s_chunk, stacked = chunked(s_chunk)
+
+    for j in range(2):
+        for k in singles[j]:
+            np.testing.assert_allclose(
+                np.asarray(singles[j][k]), np.asarray(stacked[k][j]),
+                rtol=1e-6, atol=1e-7, err_msg=f"update {j} metric {k}")
+    assert int(s_chunk.update) == int(s_single.update) == 2
 
 
 def test_chunked_matches_singles_seg_branch(key):
