@@ -71,6 +71,7 @@ def test_chunked_matches_singles(key):
     assert int(state_c.step) == int(state_s.step) == 8
 
 
+@pytest.mark.slow
 def test_fusion_chunked_matches_singles(key):
     """c3 late-fusion: the chunked scan regenerates point clouds in-graph
     from the same fold_in(data_key, global_step) stream the host loop
