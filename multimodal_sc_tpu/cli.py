@@ -52,6 +52,13 @@ def main(argv=None) -> int:
                     help="DQN: eval-time epsilon (standard Atari protocol "
                          "uses 0.05; 0 = pure argmax, which can be "
                          "degenerate for a cold-trained Q-function)")
+    pe.add_argument("--use-target", action="store_true",
+                    help="DQN: evaluate the TARGET network instead of the "
+                         "online params — under soft updates "
+                         "(rl.target_tau) the target is the Polyak average "
+                         "of the online params, i.e. the smoothed "
+                         "deployment policy (the oscillation antidote, "
+                         "results_r3/collapse_investigation.md)")
 
     x = sub.add_parser(
         "export",
@@ -111,7 +118,7 @@ def main(argv=None) -> int:
 
         key = jax.random.key(args.seed)
 
-        def _restore_params(fresh_params):
+        def _restore_params(fresh_params, field="params"):
             # Params-only PARTIAL restore: evaluation never needs the
             # replay buffer / env states, and reading just the `params`
             # subtree works for BOTH unsharded DQNState and
@@ -124,7 +131,7 @@ def main(argv=None) -> int:
             from multimodal_sc_tpu.io.checkpoint import CheckpointManager
 
             mgr = CheckpointManager(cfg.train.checkpoint_dir)
-            restored = mgr.restore_params_latest(fresh_params)
+            restored = mgr.restore_params_latest(fresh_params, field=field)
             mgr.close()
             return fresh_params if restored is None else restored
 
@@ -135,13 +142,17 @@ def main(argv=None) -> int:
                 print("--sample applies to PPO policies only; DQN eval is "
                       "always greedy (epsilon=0)", file=sys.stderr)
             params = _restore_params(
-                dqn_lib.init_params(cfg, key))
+                dqn_lib.init_params(cfg, key),
+                field="target_params" if args.use_target else "params")
             out = policy_eval.evaluate_dqn(cfg, params, key,
                                            num_envs=args.episodes,
                                            epsilon=args.eps)
         else:
             from multimodal_sc_tpu.rl import ppo as ppo_lib
 
+            if args.use_target:
+                print("--use-target applies to DQN policies only (PPO has "
+                      "no target network); ignoring", file=sys.stderr)
             params = _restore_params(ppo_lib.init_params(cfg, key))
             out = policy_eval.evaluate_ppo(cfg, params, key,
                                            num_envs=args.episodes,

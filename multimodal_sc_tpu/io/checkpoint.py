@@ -45,24 +45,29 @@ class CheckpointManager:
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
-    def restore_params_latest(self, params_target: Any) -> Optional[Any]:
-        """Restore ONLY the ``params`` subtree of the newest checkpoint.
+    def restore_params_latest(self, params_target: Any,
+                              field: str = "params") -> Optional[Any]:
+        """Restore ONLY one param-tree subtree of the newest checkpoint.
 
-        Works for any saved state whose top level has a ``params`` field
-        (the TrainState dataclasses and the RL NamedTuples all do — orbax
-        stores NamedTuples keyed by field name). Unlike
-        :meth:`restore_raw_latest`, only the requested leaves are read, so
-        a multi-GB replay buffer never touches host memory, and shapes are
-        validated against `params_target` (a live or abstract pytree)."""
+        ``field="params"`` works for any saved state whose top level has a
+        ``params`` field (the TrainState dataclasses and the RL NamedTuples
+        all do — orbax stores NamedTuples keyed by field name);
+        ``field="target_params"`` restores a DQN state's target network —
+        under soft updates (``rl.target_tau``) that tree IS the Polyak
+        average of the online params, i.e. the smoothed deployment policy.
+        Unlike :meth:`restore_raw_latest`, only the requested leaves are
+        read, so a multi-GB replay buffer never touches host memory, and
+        shapes are validated against `params_target` (a live or abstract
+        pytree)."""
         step = self._mgr.latest_step()
         if step is None:
             return None
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                           params_target)
         out = self._mgr.restore(
-            step, args=ocp.args.PyTreeRestore(item={"params": abstract},
+            step, args=ocp.args.PyTreeRestore(item={field: abstract},
                                               partial_restore=True))
-        return out["params"]
+        return out[field]
 
     def restore_raw_latest(self) -> Optional[Any]:
         """Restore the newest checkpoint WITHOUT a target: returns the saved

@@ -109,6 +109,14 @@ def run_arm(name, cfg, carry_obs=True, chunk=50, eval_every=None,
             rec["eval_greedy_avgparams"] = {
                 k: round(v, 3) for k, v in out.items()}
             rec["avg_dispatches"] = n_avg
+        # Target-network eval: under soft updates the target IS the Polyak
+        # average (the deployable smoothed policy); under hard sync it is
+        # a <=target_update_period-old snapshot — either way diagnostic
+        # for the oscillation hypothesis.
+        out = policy_eval.evaluate_dqn(
+            cfg, state.target_params, jax.random.key(0), num_envs=256,
+            epsilon=0.0)
+        rec["eval_greedy_target"] = {k: round(v, 3) for k, v in out.items()}
         print(f"{name}: {json.dumps(rec)[:400]}", flush=True)
     except Exception:
         rec["error"] = traceback.format_exc()
