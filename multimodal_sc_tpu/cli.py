@@ -52,6 +52,12 @@ def main(argv=None) -> int:
                     help="DQN: eval-time epsilon (standard Atari protocol "
                          "uses 0.05; 0 = pure argmax, which can be "
                          "degenerate for a cold-trained Q-function)")
+    pe.add_argument("--use-best", action="store_true",
+                    help="DQN: evaluate the best-snapshot policy selected "
+                         "during training (rl.eval_snapshot_every > 0, "
+                         "saved under <checkpoint_dir>/best) instead of "
+                         "the latest checkpoint — deploy on measured "
+                         "return, not recency")
     pe.add_argument("--use-target", action="store_true",
                     help="DQN: evaluate the TARGET network instead of the "
                          "online params — under soft updates "
@@ -141,9 +147,28 @@ def main(argv=None) -> int:
             if args.sample:
                 print("--sample applies to PPO policies only; DQN eval is "
                       "always greedy (epsilon=0)", file=sys.stderr)
-            params = _restore_params(
-                dqn_lib.init_params(cfg, key),
-                field="target_params" if args.use_target else "params")
+            field = "target_params" if args.use_target else "params"
+            if args.use_best:
+                from multimodal_sc_tpu.io.checkpoint import CheckpointManager
+
+                best = (CheckpointManager(cfg.train.checkpoint_dir)
+                        .restore_best_policy()
+                        if cfg.train.checkpoint_dir else None)
+                if best is None:
+                    print("--use-best: no <checkpoint_dir>/best snapshot "
+                          "(train with rl.eval_snapshot_every > 0); "
+                          "falling back to the latest checkpoint",
+                          file=sys.stderr)
+                    params = _restore_params(dqn_lib.init_params(cfg, key),
+                                             field=field)
+                else:
+                    print(f"best snapshot: iter {int(best['step'])}, "
+                          f"train-time eval {float(best['eval_return']):.2f}",
+                          file=sys.stderr)
+                    params = best[field]
+            else:
+                params = _restore_params(dqn_lib.init_params(cfg, key),
+                                         field=field)
             out = policy_eval.evaluate_dqn(cfg, params, key,
                                            num_envs=args.episodes,
                                            epsilon=args.eps)
@@ -153,6 +178,10 @@ def main(argv=None) -> int:
             if args.use_target:
                 print("--use-target applies to DQN policies only (PPO has "
                       "no target network); ignoring", file=sys.stderr)
+            if args.use_best:
+                print("--use-best applies to DQN policies only (best-"
+                      "snapshot selection is a DQN-driver feature); "
+                      "ignoring", file=sys.stderr)
             params = _restore_params(ppo_lib.init_params(cfg, key))
             out = policy_eval.evaluate_ppo(cfg, params, key,
                                            num_envs=args.episodes,

@@ -134,6 +134,15 @@ class RLConfig:
     replay_quantize: bool = True  # store replay images as uint8 (4x fewer
     # HBM bytes + 4x replay memory; images are rendered in [0,1], so the
     # 1/255 step is far below sensor noise — the standard DQN frame store)
+    eval_snapshot_every: int = 0  # >0: greedy-eval the online params every
+    # this many iterations during DQN training (fixed eval key, so scores
+    # are comparable across snapshots) and keep the BEST tree; the driver
+    # persists it under <checkpoint_dir>/best and eval-policy --use-best
+    # deploys it. Deployment-side antidote to TD snapshot oscillation
+    # (results_r3/collapse_investigation.md): the final snapshot can land
+    # in a transient bad basin while a 250-iter-earlier one evals 4x
+    # better — select on measured return, not recency. 0 = off.
+    eval_snapshot_envs: int = 64  # episodes per in-training snapshot eval
     # PPO
     rollout_length: int = 64
     num_envs: int = 32

@@ -78,6 +78,36 @@ class CheckpointManager:
             return None
         return self._mgr.restore(step, args=ocp.args.StandardRestore())
 
+    def save_best_policy(self, tree: Any) -> bool:
+        """Persist the best-eval policy snapshot under ``<dir>/best``.
+
+        ``tree`` is a small pytree ``{"params", "target_params", "step",
+        "eval_return"}`` (train/dqn.py best-snapshot selection,
+        ``rl.eval_snapshot_every``). Kept OUTSIDE the step-keyed manager so
+        resume/restore_latest never confuses it with a training state.
+        Only overwrites an existing best if ``eval_return`` improves (so a
+        resumed run cannot regress the deployed policy); returns whether
+        it wrote."""
+        path = os.path.join(self.directory, "best")
+        ckptr = ocp.StandardCheckpointer()
+        if os.path.exists(path):
+            prev = ckptr.restore(path)
+            if float(prev["eval_return"]) >= float(tree["eval_return"]):
+                return False
+        ckptr.save(path, tree, force=True)
+        ckptr.close()
+        return True
+
+    def restore_best_policy(self) -> Optional[Any]:
+        """Load the ``<dir>/best`` snapshot (host arrays) or None."""
+        path = os.path.join(self.directory, "best")
+        if not os.path.exists(path):
+            return None
+        ckptr = ocp.StandardCheckpointer()
+        out = ckptr.restore(path)
+        ckptr.close()
+        return out
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 

@@ -143,6 +143,44 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
     first_n = 0
     ckpt_s = 0.0  # in-loop checkpoint-save wall (D2H + prior-save waits)
 
+    # Best-snapshot selection (rl.eval_snapshot_every > 0): greedy-eval the
+    # online params with a FIXED key every ~ese iterations and keep the
+    # best tree (host copies — params are MBs; the donated device state is
+    # never aliased). TD training is earned by a param TRAJECTORY, so the
+    # final snapshot can land in a transient bad basin while an earlier one
+    # evals far better (snapshot oscillation,
+    # results_r3/collapse_investigation.md) — deploy on measured return,
+    # not recency. Evals fire at dispatch boundaries (first boundary at or
+    # after each multiple of ese), with wall time excluded from the steady
+    # rate like checkpoint IO.
+    ese = cfg.rl.eval_snapshot_every
+    snap_s = 0.0
+    snap_done = (start_it // ese) if ese else 0
+    best_ret, best_it, best_tree = None, None, None
+    if ese:
+        from multimodal_sc_tpu.evaluation import policy_eval
+
+        k_snap = jax.random.key(cfg.train.seed + 0xBE57)
+
+    def _maybe_snapshot_eval(it, state):
+        nonlocal snap_s, snap_done, best_ret, best_it, best_tree
+        if not ese or it // ese <= snap_done:
+            return
+        snap_done = it // ese
+        t_ev = _time.perf_counter()
+        # Host copies: works for replicated (sharded) params too, and the
+        # kept tree survives donation of the device state.
+        p = jax.device_get(state.params)
+        out = policy_eval.evaluate_dqn(cfg, p, k_snap,
+                                       num_envs=cfg.rl.eval_snapshot_envs)
+        r = out["episode_return_mean"]
+        writer.write(it, {"snapshot_eval_return": r})
+        if best_ret is None or r > best_ret:
+            best_ret, best_it = r, it
+            best_tree = {"params": p,
+                         "target_params": jax.device_get(state.target_params)}
+        snap_s += _time.perf_counter() - t_ev
+
     def _mark_first(t0, done, n):
         nonlocal first_s, first_n
         if t0 is not None:
@@ -178,6 +216,7 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
                     writer.write(it, metrics)
                     watchdog.check(it, metrics)
                     collapse_dog.check(it, metrics)
+            _maybe_snapshot_eval(it, state)
             if ckpt_mgr and it % cfg.train.checkpoint_every == 0:
                 t_ck = _time.perf_counter()
                 ckpt_mgr.save(it, state)
@@ -199,15 +238,23 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
         # t.elapsed = first_dispatch + steady + ckpt_save, plus ckpt_close.
         extra["ckpt_save_s"] = round(ckpt_s, 2)
         extra["ckpt_close_s"] = round(close_s, 2)
+    if best_ret is not None:
+        extra["best_eval_return"] = round(best_ret, 3)
+        extra["best_eval_iter"] = best_it
+        extra["snapshot_eval_s"] = round(snap_s, 2)
+        if ckpt_mgr:
+            ckpt_mgr.save_best_policy({
+                **best_tree, "step": best_it, "eval_return": best_ret})
     steady_steps = cfg.train.steps - start_it - first_n
     # Steady rate = the jitted-step rate: exclude the first (compile)
-    # dispatch and in-loop checkpoint IO (replay-buffer D2H through the
-    # tunnel dominates c4's non-compile overhead — VERDICT r2 item 3).
+    # dispatch, in-loop checkpoint IO (replay-buffer D2H through the
+    # tunnel dominates c4's non-compile overhead — VERDICT r2 item 3),
+    # and in-training snapshot evals.
     if first_s is not None and steady_steps > 0 and \
-            t.elapsed > first_s + ckpt_s:
+            t.elapsed > first_s + ckpt_s + snap_s:
         extra["first_dispatch_s"] = round(first_s, 2)
         extra["steady_steps_per_sec_per_chip"] = steps_per_sec_per_chip(
-            steady_steps * num_envs, t.elapsed - first_s - ckpt_s)
+            steady_steps * num_envs, t.elapsed - first_s - ckpt_s - snap_s)
     writer.write(cfg.train.steps, {**last, **extra})
     writer.close()
     return state, {**{k: float(v) for k, v in jax.device_get(last).items()},
