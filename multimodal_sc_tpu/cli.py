@@ -312,6 +312,8 @@ def main(argv=None) -> int:
                 modulation=cfg.channel.modulation)
             print("camera PSNR:")
             print(snr_sweep.format_table(cam_curves))
+            print("camera SSIM:")
+            print(snr_sweep.format_table(cam_curves, metric="ssim"))
             print("lidar BEV mIoU:")
             print(snr_sweep.format_table(lid_curves, metric="miou"))
             if args.out:
@@ -345,6 +347,7 @@ def main(argv=None) -> int:
             normalize=cfg.channel.normalize,
             modulation=cfg.channel.modulation)
         print(snr_sweep.format_table(curves))
+        print(snr_sweep.format_table(curves, metric="ssim"))
         if with_seg:
             print(snr_sweep.format_table(curves, metric="miou"))
         if args.out:

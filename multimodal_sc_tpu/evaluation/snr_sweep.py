@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodal_sc_tpu.channel import channel as channel_op
-from multimodal_sc_tpu.evaluation.metrics import miou, psnr
+from multimodal_sc_tpu.evaluation.metrics import miou, psnr, ssim
 
 Array = jax.Array
 
@@ -35,8 +35,11 @@ def sweep_camera(
     normalize: bool = True,
     modulation: int = 0,
 ) -> Dict[str, List[dict]]:
-    """PSNR (+ mIoU when the codec has a seg head and `seg` labels are
-    given) curves for an image codec: {kind: [{snr_db, psnr[, miou]}]}.
+    """PSNR + SSIM (+ mIoU when the codec has a seg head and `seg` labels
+    are given) curves for an image codec:
+    {kind: [{snr_db, psnr, ssim[, miou]}]}. PSNR is the spec metric
+    (BASELINE.json:8); SSIM (tf.image-oracle-tested) adds the perceptual
+    axis the MSE loss can trade away.
 
     `normalize`/`modulation` must mirror the training ChannelConfig so a
     model trained in M-QAM mode is evaluated over the same digital channel
@@ -56,22 +59,26 @@ def sweep_camera(
             rec, seg_logits = model.apply({"params": params}, z_hat, snr_vec,
                                           method="decode_seg")
             pred = jnp.argmax(seg_logits, axis=-1)
-            return psnr(rec, img), miou(pred, seg, model.seg_classes)
+            return (psnr(rec, img), ssim(rec, img),
+                    miou(pred, seg, model.seg_classes))
         rec = model.apply({"params": params}, z_hat, snr_vec, method="decode")
-        return psnr(rec, img), jnp.float32(0)
+        return psnr(rec, img), ssim(rec, img), jnp.float32(0)
 
     results: Dict[str, List[dict]] = {}
     for ki, kind in enumerate(kinds):
         curve = []
         for si, snr_db in enumerate(snrs_db):
-            pv, mv = [], []
+            pv, sv, mv = [], [], []
             for b in range(batches_per_point):
                 # Deterministic stream id (hash() is salted per process).
                 k = jax.random.fold_in(key, ki * 100000 + si * 100 + b)
-                p, m = eval_point(params, images, seg, float(snr_db), k, kind)
+                p, s, m = eval_point(params, images, seg, float(snr_db), k,
+                                     kind)
                 pv.append(float(p))
+                sv.append(float(s))
                 mv.append(float(m))
-            point = {"snr_db": float(snr_db), "psnr": float(np.mean(pv))}
+            point = {"snr_db": float(snr_db), "psnr": float(np.mean(pv)),
+                     "ssim": float(np.mean(sv))}
             if with_seg:
                 point["miou"] = float(np.mean(mv))
             curve.append(point)

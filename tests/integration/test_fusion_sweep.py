@@ -35,6 +35,7 @@ def test_eval_sweeps_fusion_checkpoint(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "camera PSNR:" in out and "lidar BEV mIoU:" in out
+    assert "camera SSIM:" in out
 
     curves = json.load(open(out_json))
     assert set(curves) == {"camera", "lidar"}
@@ -43,3 +44,5 @@ def test_eval_sweeps_fusion_checkpoint(tmp_path, capsys):
         assert all(0.0 <= m <= 1.0 for m in miou_curve)
         psnr_curve = [p["psnr"] for p in curves["camera"][kind]]
         assert all(p > 0 for p in psnr_curve)
+        ssim_curve = [p["ssim"] for p in curves["camera"][kind]]
+        assert all(-1.0 <= s <= 1.0 for s in ssim_curve)

@@ -1,9 +1,13 @@
-"""PSNR / mIoU vs hand-computed cases (SURVEY.md §4.2)."""
+"""PSNR / mIoU vs hand-computed cases; SSIM/MS-SSIM vs the tf.image
+oracle (SURVEY.md §4.2 oracle layer)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from multimodal_sc_tpu.evaluation.metrics import confusion_matrix, miou, psnr
+from multimodal_sc_tpu.evaluation.metrics import (MS_SSIM_WEIGHTS,
+                                                  confusion_matrix, miou,
+                                                  ms_ssim, psnr, ssim)
 
 
 def test_psnr_hand_computed():
@@ -44,3 +48,72 @@ def test_miou_hand_computed():
 def test_miou_perfect():
     lab = jnp.array([0, 1, 2, 1])
     assert float(miou(lab, lab, 3)) == 1.0
+
+
+def _tf_image():
+    tf = pytest.importorskip("tensorflow")
+    tf.config.set_visible_devices([], "GPU")
+    return tf
+
+
+def _pair(shape, seed=0, noise=0.1):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0.0, 1.0, size=shape).astype(np.float32)
+    y = np.clip(x + rng.normal(0, noise, size=shape), 0, 1).astype(np.float32)
+    return x, y
+
+
+def test_ssim_matches_tf_oracle():
+    tf = _tf_image()
+    for shape, noise in (((4, 64, 64, 3), 0.1), ((2, 32, 32, 3), 0.05),
+                         ((3, 33, 47, 1), 0.2)):
+        x, y = _pair(shape, seed=shape[1], noise=noise)
+        want = tf.image.ssim(tf.constant(x), tf.constant(y),
+                             max_val=1.0).numpy()
+        got = np.asarray(ssim(jnp.asarray(x), jnp.asarray(y),
+                              per_example=True))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        np.testing.assert_allclose(float(ssim(jnp.asarray(x), jnp.asarray(y))),
+                                   want.mean(), atol=1e-5)
+
+
+def test_ssim_identical_and_bounds():
+    x, y = _pair((2, 32, 32, 3), noise=0.3)
+    xx = jnp.asarray(x)
+    np.testing.assert_allclose(float(ssim(xx, xx)), 1.0, atol=1e-6)
+    v = float(ssim(xx, jnp.asarray(y)))
+    assert -1.0 <= v < 1.0
+    # More noise, lower SSIM.
+    _, y2 = _pair((2, 32, 32, 3), noise=0.6)
+    assert float(ssim(xx, jnp.asarray(y2))) < v
+
+
+def test_ms_ssim_matches_tf_oracle_full_scale():
+    tf = _tf_image()
+    x, y = _pair((2, 176, 176, 3), seed=7, noise=0.1)
+    want = tf.image.ssim_multiscale(tf.constant(x), tf.constant(y),
+                                    max_val=1.0).numpy()
+    got = np.asarray(ms_ssim(jnp.asarray(x), jnp.asarray(y),
+                             per_example=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_ms_ssim_matches_tf_oracle_small_crops():
+    """The JSCC crop sizes: 3 scales / filter 7 on 32x32 (c1/c2) and
+    64x64 (c3)."""
+    tf = _tf_image()
+    for hw in (32, 64):
+        x, y = _pair((2, hw, hw, 3), seed=hw, noise=0.15)
+        want = tf.image.ssim_multiscale(
+            tf.constant(x), tf.constant(y), max_val=1.0,
+            power_factors=MS_SSIM_WEIGHTS[:3], filter_size=7).numpy()
+        got = np.asarray(ms_ssim(jnp.asarray(x), jnp.asarray(y),
+                                 weights=MS_SSIM_WEIGHTS[:3], filter_size=7,
+                                 per_example=True))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_ms_ssim_too_small_raises():
+    x = jnp.zeros((1, 32, 32, 3))
+    with pytest.raises(ValueError, match="too small"):
+        ms_ssim(x, x)  # 5 scales x filter 11 needs >= 176px
