@@ -251,7 +251,8 @@ def shard_state(state: DQNState, mesh, tp: bool = True) -> DQNState:
 
 
 def make_iteration(cfg: ExperimentConfig, learn: bool = True,
-                   carry_obs: bool = True, chunk: int = 1):
+                   carry_obs: bool = True, chunk: int = 1,
+                   carry_f32: bool = False):
     """Build the single jitted actor+learner iteration.
 
     ``carry_obs=False`` re-renders the current observation at the top of
@@ -260,6 +261,11 @@ def make_iteration(cfg: ExperimentConfig, learn: bool = True,
     iterations per dispatch inside one ``lax.scan`` (metrics come back
     stacked ``(chunk,)`` per key) — amortizes host dispatch latency on the
     training wall clock (VERDICT r2 item 3) with identical numerics.
+    ``carry_f32`` carries the raw f32 render in ``obs_image`` (quantizing
+    only at replay/window store time) so acting sees exactly what a fresh
+    render would produce — the r3 cold-c4 collapse-bisect arm that
+    isolates act-time quantization from the carry mechanism itself; the
+    caller must seed ``state.obs_image`` with an f32 render.
     """
     tx = make_optimizer(cfg)
 
@@ -274,8 +280,12 @@ def make_iteration(cfg: ExperimentConfig, learn: bool = True,
             # consume the carried copy instead of re-rendering (and when
             # rl.replay_quantize, act on the same dequantized frames the
             # learner trains on — act/replay observations now agree).
-            img_store = state.obs_image
-            img = dequantize_image(img_store)
+            if carry_f32:
+                img = state.obs_image
+                img_store = quantize_image(cfg, img)
+            else:
+                img_store = state.obs_image
+                img = dequantize_image(img_store)
             pts, mask = state.obs_points, state.obs_mask
         else:
             img, pts, mask = driving.observe_batch(cfg.env, state.env_states)
@@ -351,7 +361,8 @@ def make_iteration(cfg: ExperimentConfig, learn: bool = True,
             params=params, target_params=target_params, opt_state=opt_state,
             env_states=env_states, buffer=buf, window=window, key=key,
             step=step, ep_return=ep_return, last_return=last_return,
-            obs_image=next_store, obs_points=ts.points, obs_mask=ts.mask)
+            obs_image=ts.image if (carry_obs and carry_f32) else next_store,
+            obs_points=ts.points, obs_mask=ts.mask)
         # Entropy of the executed-action histogram: a greedy-collapse
         # telltale (the r3 cold-c4 pathology — argmax constant on every
         # state — shows up here as entropy -> eps-floor long before any
