@@ -45,10 +45,10 @@ ITERS = 5000
 
 
 def run_arm(name, cfg, carry_obs=True, chunk=50, eval_every=None,
-            avg_last_frac=0.2):
+            avg_last_frac=0.2, seed=0):
     rec = {"carry_obs": carry_obs, "chunk": chunk, "trace": []}
     try:
-        state = dqn_lib.init(cfg, jax.random.key(0), cfg.rl.num_envs)
+        state = dqn_lib.init(cfg, jax.random.key(seed), cfg.rl.num_envs)
         it = dqn_lib.make_iteration(cfg, carry_obs=carry_obs, chunk=chunk)
         t0 = time.time()
         last = None
