@@ -12,6 +12,25 @@ import sys
 import jax
 
 
+def _policy_sweep_and_print(cfg, params, key, args, epsilon=0.0,
+                            sample=False) -> int:
+    """Shared `eval-policy --snr-sweep` body: return-vs-SNR curves for the
+    restored policy (evaluation/policy_sweep.py)."""
+    from multimodal_sc_tpu.evaluation import policy_sweep
+
+    snrs = (policy_sweep.DEFAULT_SNRS if args.snrs is None else
+            tuple(float(s) for s in args.snrs.split(",")))
+    kinds = tuple(k.strip() for k in args.kinds.split(","))
+    curves = policy_sweep.policy_snr_sweep(
+        cfg, params, key, snrs=snrs, kinds=kinds, num_envs=args.episodes,
+        epsilon=epsilon, sample=sample)
+    print("episode return (mean):")
+    print(policy_sweep.format_table(curves))
+    if args.out:
+        policy_sweep.save_curves(curves, args.out)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="multimodal_sc_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -65,6 +84,24 @@ def main(argv=None) -> int:
                          "of the online params, i.e. the smoothed "
                          "deployment policy (the oscillation antidote, "
                          "results_r3/collapse_investigation.md)")
+    pe.add_argument("--use-ema", action="store_true",
+                    help="DQN: evaluate the Polyak-averaged ONLINE params "
+                         "(rl.ema_tau > 0) — the deployment policy; the "
+                         "param-trajectory mean out-evaled every endpoint "
+                         "snapshot in the r3 recipe study "
+                         "(results_r3/collapse_investigation.md)")
+    pe.add_argument("--snr-sweep", action="store_true", dest="snr_sweep",
+                    help="sweep episode return across deployed channel "
+                         "SNR x kind (the closed-loop analogue of `eval`'s "
+                         "reconstruction sweep) instead of a single eval")
+    pe.add_argument("--kinds", default="awgn,rayleigh",
+                    help="channel kinds for --snr-sweep "
+                         "(awgn,rayleigh,rician,ideal)")
+    pe.add_argument("--snrs", default=None,
+                    help="comma list of SNR dB points for --snr-sweep "
+                         "(default -5..25 step 5)")
+    pe.add_argument("--out", default=None,
+                    help="curve JSON output path for --snr-sweep")
 
     x = sub.add_parser(
         "export",
@@ -147,7 +184,18 @@ def main(argv=None) -> int:
             if args.sample:
                 print("--sample applies to PPO policies only; DQN eval is "
                       "always greedy (epsilon=0)", file=sys.stderr)
-            field = "target_params" if args.use_target else "params"
+            field = "params"
+            if args.use_target:
+                field = "target_params"
+            if args.use_ema:
+                if args.use_target:
+                    print("--use-ema and --use-target are exclusive; "
+                          "using --use-ema", file=sys.stderr)
+                if cfg.rl.ema_tau <= 0:
+                    print("--use-ema: rl.ema_tau == 0 in this config — the "
+                          "EMA was never updated during training and equals "
+                          "the init params", file=sys.stderr)
+                field = "ema_params"
             if args.use_best:
                 from multimodal_sc_tpu.io.checkpoint import CheckpointManager
 
@@ -165,24 +213,34 @@ def main(argv=None) -> int:
                     print(f"best snapshot: iter {int(best['step'])}, "
                           f"train-time eval {float(best['eval_return']):.2f}",
                           file=sys.stderr)
-                    params = best[field]
+                    if field not in best:
+                        print(f"--use-best: snapshot predates {field}; "
+                              "using its online params", file=sys.stderr)
+                    params = best.get(field, best["params"])
             else:
                 params = _restore_params(dqn_lib.init_params(cfg, key),
                                          field=field)
+            if args.snr_sweep:
+                return _policy_sweep_and_print(cfg, params, key, args,
+                                               epsilon=args.eps)
             out = policy_eval.evaluate_dqn(cfg, params, key,
                                            num_envs=args.episodes,
                                            epsilon=args.eps)
         else:
             from multimodal_sc_tpu.rl import ppo as ppo_lib
 
-            if args.use_target:
-                print("--use-target applies to DQN policies only (PPO has "
-                      "no target network); ignoring", file=sys.stderr)
+            if args.use_target or args.use_ema:
+                print("--use-target/--use-ema apply to DQN policies only "
+                      "(PPO keeps no target/EMA tree); ignoring",
+                      file=sys.stderr)
             if args.use_best:
                 print("--use-best applies to DQN policies only (best-"
                       "snapshot selection is a DQN-driver feature); "
                       "ignoring", file=sys.stderr)
             params = _restore_params(ppo_lib.init_params(cfg, key))
+            if args.snr_sweep:
+                return _policy_sweep_and_print(cfg, params, key, args,
+                                               sample=args.sample)
             out = policy_eval.evaluate_ppo(cfg, params, key,
                                            num_envs=args.episodes,
                                            greedy=not args.sample)

@@ -67,15 +67,21 @@ def c4_dqn_fusion() -> ExperimentConfig:
         fusion=FusionConfig(mode="cross_attention"),
         # VERDICT r1 item 8 tuning: 64 envs (was 16), 3-step returns,
         # deeper replay, eps annealed over the first 3k of 5k iterations.
+        # r3 recipe study (results_r3/collapse_investigation.md): lr 1e-4
+        # with hard target sync is the stabilized cold recipe (greedy
+        # 108.8/90.6 across seeds vs 30-and-collapsing at the old 1e-3);
+        # ema_tau 2e-3 tracks the Polyak-averaged deployment policy
+        # (~500-iter horizon — the measured-best deployment, 104.5/110.5).
         rl=RLConfig(algo="dqn", num_envs=64, n_step=3,
-                    replay_capacity=32768, eps_decay_steps=3000),
+                    replay_capacity=32768, eps_decay_steps=3000,
+                    ema_tau=2e-3),
         # 50 iterations per dispatch: the r2 c4 wall was 6x the measured
         # step time, dominated by per-iteration dispatch through the axon
         # tunnel (VERDICT r2 item 3); scanning K steps per dispatch
         # amortizes it with identical numerics (50 = log_every, divides
         # checkpoint_every=500 and steps=5000).
         train=TrainConfig(task="dqn", steps=5000, batch_size=128,
-                          iters_per_dispatch=50),
+                          iters_per_dispatch=50, lr=1e-4),
         # r3: the whole-MHA-span fused Pallas block is the production
         # default — measured on v5e it beats XLA on BOTH paths once the
         # learner routes gradients through the XLA twin (act 38.98k vs

@@ -1,2 +1,2 @@
 from multimodal_sc_tpu.evaluation.metrics import confusion_matrix, miou, mse, psnr
-from multimodal_sc_tpu.evaluation import policy_eval, snr_sweep
+from multimodal_sc_tpu.evaluation import policy_eval, policy_sweep, snr_sweep

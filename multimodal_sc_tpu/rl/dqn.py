@@ -82,6 +82,10 @@ def dequantize_image(img: Array) -> Array:
 class DQNState(NamedTuple):
     params: Any
     target_params: Any
+    ema_params: Any            # Polyak-averaged ONLINE params (rl.ema_tau>0)
+    # — the deployment policy (collapse_investigation.md: the param
+    # trajectory's mean out-evals every endpoint snapshot); frozen at the
+    # init copy when rl.ema_tau == 0.
     opt_state: Any
     env_states: Any            # batched EnvState
     buffer: Any                # ReplayBuffer
@@ -148,10 +152,12 @@ def init(cfg: ExperimentConfig, key: Array, num_envs: int) -> DQNState:
          "action": jnp.zeros((num_envs,), jnp.int32)},
         cfg.rl.n_step, num_envs)
     zeros = jnp.zeros((num_envs,), jnp.float32)
-    # Distinct buffers for target params: the jitted iteration donates the
-    # whole state, and XLA rejects donating the same buffer twice.
+    # Distinct buffers for target/EMA params: the jitted iteration donates
+    # the whole state, and XLA rejects donating the same buffer twice.
     target_params = jax.tree_util.tree_map(jnp.copy, params)
+    ema_params = jax.tree_util.tree_map(jnp.copy, params)
     return DQNState(params=params, target_params=target_params,
+                    ema_params=ema_params,
                     opt_state=opt_state,
                     env_states=env_states, buffer=buf, window=window,
                     key=k_state,
@@ -235,6 +241,7 @@ def shard_state(state: DQNState, mesh, tp: bool = True) -> DQNState:
     return DQNState(
         params=put_params(state.params),
         target_params=put_params(state.target_params),
+        ema_params=put_params(state.ema_params),
         opt_state=repl_tree(state.opt_state),
         env_states=jax.tree_util.tree_map(data_sh, state.env_states),
         buffer=jax.tree_util.tree_map(
@@ -321,7 +328,7 @@ def make_iteration(cfg: ExperimentConfig, learn: bool = True,
             size=jnp.where(valid, new_buf.size, state.buffer.size))
 
         def do_learn(args):
-            params, target_params, opt_state, step = args
+            params, target_params, ema_params, opt_state, step = args
             batch = dequantize_obs(
                 cfg, replay.sample(buf, k_sample, cfg.rl.batch_size))
             loss, grads = jax.value_and_grad(
@@ -340,25 +347,35 @@ def make_iteration(cfg: ExperimentConfig, learn: bool = True,
                 sync = (step % cfg.rl.target_update_period) == 0
                 target_params = jax.tree_util.tree_map(
                     lambda t, p: jnp.where(sync, p, t), target_params, params)
-            return params, target_params, opt_state, step, loss
+            if cfg.rl.ema_tau > 0:
+                # Deployment EMA of the online params (decoupled from the
+                # TD target above).
+                e = cfg.rl.ema_tau
+                ema_params = jax.tree_util.tree_map(
+                    lambda m, p: (1.0 - e) * m + e * p, ema_params, params)
+            return params, target_params, ema_params, opt_state, step, loss
 
         def skip(args):
-            params, target_params, opt_state, step = args
-            return params, target_params, opt_state, step, jnp.float32(0)
+            params, target_params, ema_params, opt_state, step = args
+            return (params, target_params, ema_params, opt_state, step,
+                    jnp.float32(0))
 
         warm = buf.size >= cfg.rl.batch_size
         if learn:
-            params, target_params, opt_state, step, loss = jax.lax.cond(
+            (params, target_params, ema_params, opt_state, step,
+             loss) = jax.lax.cond(
                 warm, do_learn, skip,
-                (state.params, state.target_params, state.opt_state,
-                 state.step))
+                (state.params, state.target_params, state.ema_params,
+                 state.opt_state, state.step))
         else:
-            params, target_params, opt_state, step = (
-                state.params, state.target_params, state.opt_state, state.step)
+            params, target_params, ema_params, opt_state, step = (
+                state.params, state.target_params, state.ema_params,
+                state.opt_state, state.step)
             loss = jnp.float32(0)
 
         new_state = DQNState(
-            params=params, target_params=target_params, opt_state=opt_state,
+            params=params, target_params=target_params,
+            ema_params=ema_params, opt_state=opt_state,
             env_states=env_states, buffer=buf, window=window, key=key,
             step=step, ep_return=ep_return, last_return=last_return,
             obs_image=ts.image if (carry_obs and carry_f32) else next_store,

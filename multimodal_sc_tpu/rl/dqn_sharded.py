@@ -41,6 +41,7 @@ Array = jax.Array
 class ShardedDQNState(NamedTuple):
     params: Any          # replicated
     target_params: Any   # replicated
+    ema_params: Any      # replicated deployment EMA (see rl/dqn.py)
     opt_state: Any       # replicated
     env_states: Any      # (S * E, ...) sharded over data
     buffer_data: Any     # (S, capacity, ...) sharded over data
@@ -105,6 +106,8 @@ def init(cfg: ExperimentConfig, key: Array, mesh,
         params=jax.device_put(params, repl),
         target_params=jax.device_put(
             jax.tree_util.tree_map(jnp.copy, params), repl),
+        ema_params=jax.device_put(
+            jax.tree_util.tree_map(jnp.copy, params), repl),
         opt_state=jax.device_put(opt_state, repl),
         env_states=jax.tree_util.tree_map(put_data, env_states),
         buffer_data=jax.tree_util.tree_map(put_data, buffer_data),
@@ -128,9 +131,9 @@ def make_iteration(cfg: ExperimentConfig, mesh, chunk: int = 1):
     tx = make_optimizer(cfg)
     capacity = cfg.rl.replay_capacity
 
-    def shard_fn(params, target_params, opt_state, env_states, buffer_data,
-                 cursor, size, window, keys, step, ep_return, last_return,
-                 obs_image, obs_points, obs_mask):
+    def shard_fn(params, target_params, ema_params, opt_state, env_states,
+                 buffer_data, cursor, size, window, keys, step, ep_return,
+                 last_return, obs_image, obs_points, obs_mask):
         # Inside shard_map: leading shard dims are local (size 1 for the
         # buffer stack, E for env arrays). Unstack the local buffer/window.
         buf = replay.ReplayBuffer(
@@ -170,7 +173,7 @@ def make_iteration(cfg: ExperimentConfig, mesh, chunk: int = 1):
             size=jnp.where(valid, new_buf.size, buf.size))
 
         def do_learn(args):
-            params, target_params, opt_state, step = args
+            params, target_params, ema_params, opt_state, step = args
             batch = dequantize_obs(
                 cfg, replay.sample(buf, k_sample, cfg.rl.batch_size))
             loss, grads = jax.value_and_grad(
@@ -194,16 +197,23 @@ def make_iteration(cfg: ExperimentConfig, mesh, chunk: int = 1):
                 target_params = jax.tree_util.tree_map(
                     lambda t, p: jnp.where(sync, p, t), target_params,
                     params)
-            return params, target_params, opt_state, step, loss
+            if cfg.rl.ema_tau > 0:
+                # Deployment EMA of the online params (see rl/dqn.py).
+                e = cfg.rl.ema_tau
+                ema_params = jax.tree_util.tree_map(
+                    lambda m, p: (1.0 - e) * m + e * p, ema_params, params)
+            return params, target_params, ema_params, opt_state, step, loss
 
         def skip(args):
-            params, target_params, opt_state, step = args
-            return params, target_params, opt_state, step, jnp.float32(0)
+            params, target_params, ema_params, opt_state, step = args
+            return (params, target_params, ema_params, opt_state, step,
+                    jnp.float32(0))
 
         warm = buf.size >= cfg.rl.batch_size
-        params, target_params, opt_state, step, loss = jax.lax.cond(
-            warm, do_learn, skip,
-            (params, target_params, opt_state, step))
+        params, target_params, ema_params, opt_state, step, loss = (
+            jax.lax.cond(
+                warm, do_learn, skip,
+                (params, target_params, ema_params, opt_state, step)))
 
         # Greedy-collapse telltale, pooled over shards (see rl/dqn.py).
         hist = jax.lax.pmean(
@@ -217,7 +227,7 @@ def make_iteration(cfg: ExperimentConfig, mesh, chunk: int = 1):
             "action_entropy": -jnp.sum(hist * jnp.log(hist + 1e-9)),
             "buffer_size": buf.size.astype(jnp.float32),
         }
-        return (params, target_params, opt_state, env_states,
+        return (params, target_params, ema_params, opt_state, env_states,
                 jax.tree_util.tree_map(lambda x: x[None], buf.data),
                 buf.cursor[None], buf.size[None],
                 jax.tree_util.tree_map(lambda x: x[None], win),
@@ -238,6 +248,7 @@ def make_iteration(cfg: ExperimentConfig, mesh, chunk: int = 1):
         in_specs = (
             jax.tree_util.tree_map(lambda _: r, state.params),
             jax.tree_util.tree_map(lambda _: r, state.target_params),
+            jax.tree_util.tree_map(lambda _: r, state.ema_params),
             jax.tree_util.tree_map(lambda _: r, state.opt_state),
             specs_like(state.env_states, dn),
             specs_like(state.buffer_data, dn),
@@ -252,6 +263,7 @@ def make_iteration(cfg: ExperimentConfig, mesh, chunk: int = 1):
         out_specs = (
             jax.tree_util.tree_map(lambda _: r, state.params),
             jax.tree_util.tree_map(lambda _: r, state.target_params),
+            jax.tree_util.tree_map(lambda _: r, state.ema_params),
             jax.tree_util.tree_map(lambda _: r, state.opt_state),
             specs_like(state.env_states, dn),
             specs_like(state.buffer_data, dn),
@@ -268,7 +280,8 @@ def make_iteration(cfg: ExperimentConfig, mesh, chunk: int = 1):
         out = shard_map(
             shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
             check_vma=False,
-        )(state.params, state.target_params, state.opt_state,
+        )(state.params, state.target_params, state.ema_params,
+          state.opt_state,
           state.env_states, state.buffer_data, state.buffer_cursor,
           state.buffer_size, state.window, state.keys, state.step,
           state.ep_return, state.last_return,

@@ -178,7 +178,8 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
         if best_ret is None or r > best_ret:
             best_ret, best_it = r, it
             best_tree = {"params": p,
-                         "target_params": jax.device_get(state.target_params)}
+                         "target_params": jax.device_get(state.target_params),
+                         "ema_params": jax.device_get(state.ema_params)}
         snap_s += _time.perf_counter() - t_ev
 
     def _mark_first(t0, done, n):

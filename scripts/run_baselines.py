@@ -83,22 +83,49 @@ RUNS = [
                  "--set", "train.checkpoint_every=5000"]),
     ("c4_warm_eval", ["eval-policy", "--config", "c4", "--episodes", "256",
                       "--set", f"train.checkpoint_dir={OUT}/ckpt_c4w"]),
-    # Second seed for the per-seed c4 warm gate (the production recipe);
-    # the warm trunk source stays the seed-0 c1 codec — the seed changes
-    # the RL stream (env resets, exploration, replay sampling), which is
-    # the variance the gate is about.
-    ("c4_warm_s1", ["train", "--config", "c4",
-                    "--init-from", f"{OUT}/ckpt_c1",
+    # Second seed for the per-seed c4 gate. Production recipe is COLD
+    # under the r3 stabilized hyperparameters (lr 1e-4 + ema_tau, see the
+    # c4 preset; the lr-1e-3 collapse story is
+    # results_r3/collapse_investigation.md) — the seed
+    # changes the full RL stream (env resets, exploration, replay
+    # sampling), which is the variance the gate is about.
+    ("c4_s1", ["train", "--config", "c4",
+               "--set", "train.seed=1",
+               "--set", "train.steps=5000",
+               "--set", "train.log_every=500",
+               "--set", f"train.checkpoint_dir={OUT}/ckpt_c4_s1",
+               "--set", "train.checkpoint_every=5000"]),
+    ("c4_s1_eval", ["eval-policy", "--config", "c4",
+                    "--episodes", "256",
                     "--set", "train.seed=1",
-                    "--set", "train.steps=5000",
-                    "--set", "train.log_every=500",
-                    "--set", f"train.checkpoint_dir={OUT}/ckpt_c4w_s1",
-                    "--set", "train.checkpoint_every=5000"]),
-    ("c4_warm_s1_eval", ["eval-policy", "--config", "c4",
-                         "--episodes", "256",
-                         "--set", "train.seed=1",
-                         "--set",
-                         f"train.checkpoint_dir={OUT}/ckpt_c4w_s1"]),
+                    "--set", f"train.checkpoint_dir={OUT}/ckpt_c4_s1"]),
+    # Deployment-policy variants of the cold checkpoints: the Polyak-
+    # averaged online params (rl.ema_tau — the measured-best deployment,
+    # collapse_investigation.md) and the target network.
+    ("c4_eval_ema", ["eval-policy", "--config", "c4",
+                     "--episodes", "256", "--use-ema",
+                     "--set", f"train.checkpoint_dir={OUT}/ckpt_c4"]),
+    ("c4_s1_eval_ema", ["eval-policy", "--config", "c4",
+                        "--episodes", "256", "--use-ema",
+                        "--set", "train.seed=1",
+                        "--set", f"train.checkpoint_dir={OUT}/ckpt_c4_s1"]),
+    ("c4_eval_target", ["eval-policy", "--config", "c4",
+                        "--episodes", "256", "--use-target",
+                        "--set", f"train.checkpoint_dir={OUT}/ckpt_c4"]),
+    # Closed-loop robustness: episode return vs deployed channel SNR
+    # (evaluation/policy_sweep.py) — the RL analogue of the c2/c3
+    # reconstruction sweeps.
+    ("c4_snr_sweep", ["eval-policy", "--config", "c4", "--snr-sweep",
+                      "--episodes", "256",
+                      "--kinds", "awgn,rayleigh",
+                      "--set", f"train.checkpoint_dir={OUT}/ckpt_c4",
+                      "--out", f"{OUT}/c4_policy_curves.json"]),
+    ("c5_snr_sweep", ["eval-policy", "--config", "c5", "--snr-sweep",
+                      "--episodes", "256",
+                      "--kinds", "awgn,rayleigh",
+                      "--set", "rl.num_envs=64",
+                      "--set", f"train.checkpoint_dir={OUT}/ckpt_c5",
+                      "--out", f"{OUT}/c5_policy_curves.json"]),
     # c5 at the r2-bar budget (150 updates), both eval modes recorded in
     # ONE artifact (VERDICT r2 item 4 — the r2 json only held the 60-update
     # run and an rc-1 eval).

@@ -58,6 +58,7 @@ def test_sharded_matches_unsharded_on_one_shard(key):
     cp = jax.tree_util.tree_map(jnp.copy, base)
     sharded = dqn_sharded.ShardedDQNState(
         params=cp.params, target_params=cp.target_params,
+        ema_params=cp.ema_params,
         opt_state=cp.opt_state, env_states=cp.env_states,
         buffer_data=jax.tree_util.tree_map(lambda x: x[None], cp.buffer.data),
         buffer_cursor=cp.buffer.cursor[None], buffer_size=cp.buffer.size[None],
