@@ -31,6 +31,76 @@ def _policy_sweep_and_print(cfg, params, key, args, epsilon=0.0,
     return 0
 
 
+def _restore_params_latest(cfg, fresh_params, field="params"):
+    """Params-only PARTIAL restore of the newest checkpoint: evaluation and
+    export never need the replay buffer / env states, and reading just one
+    param subtree works for BOTH unsharded DQNState and ShardedDQNState
+    checkpoints (train/dqn.run auto-shards on multi-device hosts) without
+    ever materializing the multi-GB training arrays; shapes are validated
+    against the fresh params tree (ADVICE r1 + r2 reviews). Returns None
+    when no checkpoint exists (callers pick their own fallback/warning)."""
+    if not cfg.train.checkpoint_dir:
+        return None
+    from multimodal_sc_tpu.io.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(cfg.train.checkpoint_dir)
+    restored = mgr.restore_params_latest(fresh_params, field=field)
+    mgr.close()
+    return restored
+
+
+def _select_dqn_deploy_params(cfg, key, use_target=False, use_ema=False,
+                              use_best=False):
+    """Resolve which tree of a DQN checkpoint deploys (shared by
+    `eval-policy` and `export`): the online params by default,
+    `--use-target` the TD target network, `--use-ema` the Polyak-averaged
+    deployment policy (rl.ema_tau — the measured-best cold-c4 deployment,
+    results_r3/collapse_investigation.md), `--use-best` the best-measured-
+    return snapshot (rl.eval_snapshot_every). Falls back to fresh init
+    params (with a warning) when no checkpoint exists."""
+    from multimodal_sc_tpu.rl import dqn as dqn_lib
+
+    field = "params"
+    if use_target:
+        field = "target_params"
+    if use_ema:
+        if use_target:
+            print("--use-ema and --use-target are exclusive; "
+                  "using --use-ema", file=sys.stderr)
+        if cfg.rl.ema_tau <= 0:
+            print("--use-ema: rl.ema_tau == 0 in this config — the "
+                  "EMA was never updated during training and equals "
+                  "the init params", file=sys.stderr)
+        field = "ema_params"
+    if use_best:
+        from multimodal_sc_tpu.io.checkpoint import CheckpointManager
+
+        best = (CheckpointManager(cfg.train.checkpoint_dir)
+                .restore_best_policy()
+                if cfg.train.checkpoint_dir else None)
+        if best is None:
+            print("--use-best: no <checkpoint_dir>/best snapshot "
+                  "(train with rl.eval_snapshot_every > 0); "
+                  "falling back to the latest checkpoint",
+                  file=sys.stderr)
+        else:
+            print(f"best snapshot: iter {int(best['step'])}, "
+                  f"train-time eval {float(best['eval_return']):.2f}",
+                  file=sys.stderr)
+            if field not in best:
+                print(f"--use-best: snapshot predates {field}; "
+                      "using its online params", file=sys.stderr)
+            return best.get(field, best["params"])
+    fresh = dqn_lib.init_params(cfg, key)
+    restored = _restore_params_latest(cfg, fresh, field=field)
+    if restored is None:
+        print("warning: no checkpoint found "
+              f"(train.checkpoint_dir={cfg.train.checkpoint_dir!r}) — "
+              "using UNTRAINED init params", file=sys.stderr)
+        return fresh
+    return restored
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="multimodal_sc_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -115,6 +185,16 @@ def main(argv=None) -> int:
     x.add_argument("--batch", type=int, default=None,
                    help="fix the exported batch size (default: "
                         "batch-size-polymorphic)")
+    x.add_argument("--use-target", action="store_true", dest="use_target",
+                   help="DQN: export the target network (Polyak average "
+                        "under rl.target_tau) instead of the online params")
+    x.add_argument("--use-ema", action="store_true",
+                   help="DQN: export the Polyak-averaged deployment policy "
+                        "(rl.ema_tau — the measured-best cold-c4 "
+                        "deployment, results_r3/collapse_investigation.md)")
+    x.add_argument("--use-best", action="store_true", dest="use_best",
+                   help="DQN: export the best-measured-return snapshot "
+                        "(rl.eval_snapshot_every)")
 
     args = p.parse_args(argv)
 
@@ -161,65 +241,13 @@ def main(argv=None) -> int:
 
         key = jax.random.key(args.seed)
 
-        def _restore_params(fresh_params, field="params"):
-            # Params-only PARTIAL restore: evaluation never needs the
-            # replay buffer / env states, and reading just the `params`
-            # subtree works for BOTH unsharded DQNState and
-            # ShardedDQNState checkpoints (train/dqn.run auto-shards on
-            # multi-device hosts) without ever materializing the multi-GB
-            # training arrays; shapes are validated against the fresh
-            # params tree (ADVICE r1 + r2 reviews).
-            if not cfg.train.checkpoint_dir:
-                return fresh_params
-            from multimodal_sc_tpu.io.checkpoint import CheckpointManager
-
-            mgr = CheckpointManager(cfg.train.checkpoint_dir)
-            restored = mgr.restore_params_latest(fresh_params, field=field)
-            mgr.close()
-            return fresh_params if restored is None else restored
-
         if cfg.train.task == "dqn" or cfg.rl.algo == "dqn":
-            from multimodal_sc_tpu.rl import dqn as dqn_lib
-
             if args.sample:
                 print("--sample applies to PPO policies only; DQN eval is "
                       "always greedy (epsilon=0)", file=sys.stderr)
-            field = "params"
-            if args.use_target:
-                field = "target_params"
-            if args.use_ema:
-                if args.use_target:
-                    print("--use-ema and --use-target are exclusive; "
-                          "using --use-ema", file=sys.stderr)
-                if cfg.rl.ema_tau <= 0:
-                    print("--use-ema: rl.ema_tau == 0 in this config — the "
-                          "EMA was never updated during training and equals "
-                          "the init params", file=sys.stderr)
-                field = "ema_params"
-            if args.use_best:
-                from multimodal_sc_tpu.io.checkpoint import CheckpointManager
-
-                best = (CheckpointManager(cfg.train.checkpoint_dir)
-                        .restore_best_policy()
-                        if cfg.train.checkpoint_dir else None)
-                if best is None:
-                    print("--use-best: no <checkpoint_dir>/best snapshot "
-                          "(train with rl.eval_snapshot_every > 0); "
-                          "falling back to the latest checkpoint",
-                          file=sys.stderr)
-                    params = _restore_params(dqn_lib.init_params(cfg, key),
-                                             field=field)
-                else:
-                    print(f"best snapshot: iter {int(best['step'])}, "
-                          f"train-time eval {float(best['eval_return']):.2f}",
-                          file=sys.stderr)
-                    if field not in best:
-                        print(f"--use-best: snapshot predates {field}; "
-                              "using its online params", file=sys.stderr)
-                    params = best.get(field, best["params"])
-            else:
-                params = _restore_params(dqn_lib.init_params(cfg, key),
-                                         field=field)
+            params = _select_dqn_deploy_params(
+                cfg, key, use_target=args.use_target, use_ema=args.use_ema,
+                use_best=args.use_best)
             if args.snr_sweep:
                 return _policy_sweep_and_print(cfg, params, key, args,
                                                epsilon=args.eps)
@@ -237,7 +265,9 @@ def main(argv=None) -> int:
                 print("--use-best applies to DQN policies only (best-"
                       "snapshot selection is a DQN-driver feature); "
                       "ignoring", file=sys.stderr)
-            params = _restore_params(ppo_lib.init_params(cfg, key))
+            fresh = ppo_lib.init_params(cfg, key)
+            restored = _restore_params_latest(cfg, fresh)
+            params = fresh if restored is None else restored
             if args.snr_sweep:
                 return _policy_sweep_and_print(cfg, params, key, args,
                                                sample=args.sample)
@@ -253,22 +283,19 @@ def main(argv=None) -> int:
         key = jax.random.key(cfg.train.seed)
 
         def _params_only(fresh):
-            if not cfg.train.checkpoint_dir:
-                print("warning: no train.checkpoint_dir set — exporting "
-                      "UNTRAINED params", file=sys.stderr)
-                return fresh
-            from multimodal_sc_tpu.io.checkpoint import CheckpointManager
-
-            mgr = CheckpointManager(cfg.train.checkpoint_dir)
-            restored = mgr.restore_params_latest(fresh)
-            mgr.close()
+            restored = _restore_params_latest(cfg, fresh)
             if restored is None:
-                print("warning: checkpoint dir empty — exporting UNTRAINED "
+                print("warning: no checkpoint found (train.checkpoint_dir="
+                      f"{cfg.train.checkpoint_dir!r}) — exporting UNTRAINED "
                       "params", file=sys.stderr)
                 return fresh
             return restored
 
         task = cfg.train.task
+        deploy_flags = args.use_target or args.use_ema or args.use_best
+        if deploy_flags and task != "dqn":
+            print("--use-target/--use-ema/--use-best apply to DQN exports "
+                  "only; ignoring", file=sys.stderr)
         if task == "jscc":
             from multimodal_sc_tpu.train import jscc
 
@@ -289,17 +316,18 @@ def main(argv=None) -> int:
                 **export_lib.export_lidar_codec(cfg, params["lidar"],
                                                 batch=args.batch),
             }
-        elif task in ("dqn", "ppo"):
-            if task == "dqn":
-                from multimodal_sc_tpu.rl import dqn as dqn_lib
-
-                fresh = dqn_lib.init_params(cfg, key)
-            else:
-                from multimodal_sc_tpu.rl import ppo as ppo_lib
-
-                fresh = ppo_lib.init_params(cfg, key)
+        elif task == "dqn":
+            params = _select_dqn_deploy_params(
+                cfg, key, use_target=args.use_target, use_ema=args.use_ema,
+                use_best=args.use_best)
             parts = {"policy": export_lib.export_policy(
-                cfg, _params_only(fresh), batch=args.batch)}
+                cfg, params, batch=args.batch)}
+        elif task == "ppo":
+            from multimodal_sc_tpu.rl import ppo as ppo_lib
+
+            parts = {"policy": export_lib.export_policy(
+                cfg, _params_only(ppo_lib.init_params(cfg, key)),
+                batch=args.batch)}
         else:
             print(f"unknown task {task!r}", file=sys.stderr)
             return 2

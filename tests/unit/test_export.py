@@ -116,6 +116,54 @@ def test_policy_export_matches_greedy_act(key):
 
 
 @pytest.mark.slow
+def test_cli_export_use_ema_exports_the_ema_tree(key, tmp_path):
+    """`export --use-ema` must serialize the Polyak-averaged deployment
+    policy (DQNState.ema_params), not the online params: the artifact's
+    actions match the EMA tree's greedy argmax bit-exactly."""
+    from multimodal_sc_tpu.cli import main
+    from multimodal_sc_tpu.envs import driving
+    from multimodal_sc_tpu.io.checkpoint import CheckpointManager
+    from multimodal_sc_tpu.rl import dqn as dqn_lib
+    from multimodal_sc_tpu.rl.perception import QNetwork
+
+    tiny = [
+        "camera.features=8,16,16,16", "camera.c_sym=2",
+        "camera.image_hw=16,16", "env.image_hw=16,16",
+        "lidar.pillar_dim=16", "lidar.c_sym=2", "lidar.bev_hw=8,8",
+        "fusion.dim=32", "fusion.depth=1", "fusion.heads=2",
+        "fusion.state_dim=32", "env.num_npcs=2", "env.lidar_rays=16",
+        "rl.replay_capacity=64", "rl.batch_size=4", "rl.ema_tau=0.25",
+    ]
+    ckpt = tmp_path / "ckpt"
+    cfg = get_preset("c4").override_str(
+        tiny + [f"train.checkpoint_dir={ckpt}"])
+    state = dqn_lib.init(cfg, key, num_envs=4)
+    it = dqn_lib.make_iteration(cfg)
+    for _ in range(4):
+        state, _ = it(state)
+    assert int(state.step) >= 1  # the EMA has genuinely moved off init
+    mgr = CheckpointManager(str(ckpt))
+    mgr.save(4, jax.device_get(state), wait=True)
+    mgr.close()
+
+    out = tmp_path / "artifact"
+    rc = main(["export", "--config", "c4", "--use-ema", "--out", str(out)]
+              + [a for o in tiny + [f"train.checkpoint_dir={ckpt}"]
+                 for a in ("--set", o)])
+    assert rc == 0
+    pol = export_lib.load_artifact(str(out))["policy"]
+
+    pcfg = export_lib._portable(cfg)
+    es = driving.reset_batch(cfg.env, key, 3)
+    img, pts, mask = driving.observe_batch(cfg.env, es)
+    a = pol(img, pts, mask, jnp.int32(11))
+    q_ema = QNetwork(pcfg).apply({"params": state.ema_params},
+                                 img, pts, mask, jax.random.key(11))
+    np.testing.assert_array_equal(np.asarray(a),
+                                  np.argmax(np.asarray(q_ema), axis=-1))
+
+
+@pytest.mark.slow
 def test_cli_export_verb(tmp_path):
     """`export --config c1` writes a loadable artifact directory (untrained
     params + a loud warning when no checkpoint dir is set)."""
