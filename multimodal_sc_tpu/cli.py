@@ -101,6 +101,40 @@ def _select_dqn_deploy_params(cfg, key, use_target=False, use_ema=False,
     return restored
 
 
+def _select_ppo_deploy_params(cfg, key, use_target=False, use_ema=False,
+                              use_best=False):
+    """Resolve which tree of a PPO checkpoint deploys (shared by
+    `eval-policy` and `export`): the online params by default, `--use-ema`
+    the Polyak-averaged deployment policy (rl.ema_tau, one lerp per
+    update). --use-target/--use-best are DQN-only (PPO keeps no target
+    net and no best-snapshot driver hook) and warn+ignore. Falls back to
+    fresh init params (with a warning) when no checkpoint exists."""
+    from multimodal_sc_tpu.rl import ppo as ppo_lib
+
+    if use_target:
+        print("--use-target applies to DQN policies only (PPO keeps no "
+              "target network); ignoring", file=sys.stderr)
+    if use_best:
+        print("--use-best applies to DQN policies only (best-snapshot "
+              "selection is a DQN-driver feature); ignoring",
+              file=sys.stderr)
+    field = "params"
+    if use_ema:
+        if cfg.rl.ema_tau <= 0:
+            print("--use-ema: rl.ema_tau == 0 in this config — the "
+                  "EMA was never updated during training and equals "
+                  "the init params", file=sys.stderr)
+        field = "ema_params"
+    fresh = ppo_lib.init_params(cfg, key)
+    restored = _restore_params_latest(cfg, fresh, field=field)
+    if restored is None:
+        print("warning: no checkpoint found "
+              f"(train.checkpoint_dir={cfg.train.checkpoint_dir!r}) — "
+              "using UNTRAINED init params", file=sys.stderr)
+        return fresh
+    return restored
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="multimodal_sc_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -155,7 +189,7 @@ def main(argv=None) -> int:
                          "deployment policy (the oscillation antidote, "
                          "results_r3/collapse_investigation.md)")
     pe.add_argument("--use-ema", action="store_true",
-                    help="DQN: evaluate the Polyak-averaged ONLINE params "
+                    help="DQN/PPO: evaluate the Polyak-averaged ONLINE params "
                          "(rl.ema_tau > 0) — the deployment policy; the "
                          "param-trajectory mean out-evaled every endpoint "
                          "snapshot in the r3 recipe study "
@@ -189,8 +223,8 @@ def main(argv=None) -> int:
                    help="DQN: export the target network (Polyak average "
                         "under rl.target_tau) instead of the online params")
     x.add_argument("--use-ema", action="store_true",
-                   help="DQN: export the Polyak-averaged deployment policy "
-                        "(rl.ema_tau — the measured-best cold-c4 "
+                   help="DQN/PPO: export the Polyak-averaged deployment "
+                        "policy (rl.ema_tau — the measured-best cold-c4 "
                         "deployment, results_r3/collapse_investigation.md)")
     x.add_argument("--use-best", action="store_true", dest="use_best",
                    help="DQN: export the best-measured-return snapshot "
@@ -255,19 +289,9 @@ def main(argv=None) -> int:
                                            num_envs=args.episodes,
                                            epsilon=args.eps)
         else:
-            from multimodal_sc_tpu.rl import ppo as ppo_lib
-
-            if args.use_target or args.use_ema:
-                print("--use-target/--use-ema apply to DQN policies only "
-                      "(PPO keeps no target/EMA tree); ignoring",
-                      file=sys.stderr)
-            if args.use_best:
-                print("--use-best applies to DQN policies only (best-"
-                      "snapshot selection is a DQN-driver feature); "
-                      "ignoring", file=sys.stderr)
-            fresh = ppo_lib.init_params(cfg, key)
-            restored = _restore_params_latest(cfg, fresh)
-            params = fresh if restored is None else restored
+            params = _select_ppo_deploy_params(
+                cfg, key, use_target=args.use_target, use_ema=args.use_ema,
+                use_best=args.use_best)
             if args.snr_sweep:
                 return _policy_sweep_and_print(cfg, params, key, args,
                                                sample=args.sample)
@@ -292,10 +316,12 @@ def main(argv=None) -> int:
             return restored
 
         task = cfg.train.task
-        deploy_flags = args.use_target or args.use_ema or args.use_best
-        if deploy_flags and task != "dqn":
-            print("--use-target/--use-ema/--use-best apply to DQN exports "
-                  "only; ignoring", file=sys.stderr)
+        if (args.use_target or args.use_best) and task != "dqn":
+            print("--use-target/--use-best apply to DQN exports only; "
+                  "ignoring", file=sys.stderr)
+        if args.use_ema and task not in ("dqn", "ppo"):
+            print("--use-ema applies to policy (DQN/PPO) exports only; "
+                  "ignoring", file=sys.stderr)
         if task == "jscc":
             from multimodal_sc_tpu.train import jscc
 
@@ -323,11 +349,10 @@ def main(argv=None) -> int:
             parts = {"policy": export_lib.export_policy(
                 cfg, params, batch=args.batch)}
         elif task == "ppo":
-            from multimodal_sc_tpu.rl import ppo as ppo_lib
-
+            params = _select_ppo_deploy_params(cfg, key,
+                                               use_ema=args.use_ema)
             parts = {"policy": export_lib.export_policy(
-                cfg, _params_only(ppo_lib.init_params(cfg, key)),
-                batch=args.batch)}
+                cfg, params, batch=args.batch)}
         else:
             print(f"unknown task {task!r}", file=sys.stderr)
             return 2

@@ -124,12 +124,13 @@ class RLConfig:
     # (dampens the TD-target oscillation behind the cold-c4 chattering
     # diagnosis, BASELINE.md config-4); 0 keeps the hard-sync behavior.
     ema_tau: float = 0.0          # >0: track a Polyak-averaged copy of the
-    # ONLINE params every learn step (ema <- ema + tau*(params - ema)) as
-    # the DEPLOYMENT policy, decoupled from the TD-target network above.
-    # The r3 cold-c4 recipe study measured the averaged policy above the
-    # final snapshot in every stabilized arm (104.5/110.5 vs 108.8/90.6
-    # greedy across seeds — results_r3/collapse_investigation.md); eval
-    # with `eval-policy --use-ema`. 0 leaves the EMA frozen at init.
+    # ONLINE params (ema <- ema + tau*(params - ema)) as the DEPLOYMENT
+    # policy — once per learn step for DQN (decoupled from the TD-target
+    # network above), once per update for PPO. The r3 cold-c4 recipe study
+    # measured the averaged policy above the final snapshot in every
+    # stabilized arm (104.5/110.5 vs 108.8/90.6 greedy across seeds —
+    # results_r3/collapse_investigation.md); eval with
+    # `eval-policy --use-ema`. 0 leaves the EMA frozen at init.
     eps_start: float = 1.0
     eps_end: float = 0.05
     eps_decay_steps: int = 20000

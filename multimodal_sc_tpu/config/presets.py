@@ -101,7 +101,11 @@ def c5_ppo_mesh() -> ExperimentConfig:
         camera=CameraCodecConfig(arch="cnn"),
         lidar=LidarCodecConfig(enabled=True),
         fusion=FusionConfig(mode="cross_attention"),
-        rl=RLConfig(algo="ppo"),
+        # ema_tau 0.02 tracks a ~50-update-horizon Polyak average of the
+        # policy as the deployment candidate (passive — training numerics
+        # unchanged); deploy/eval it with --use-ema. Mirrors the c4 EMA
+        # deployment policy at the PPO update cadence.
+        rl=RLConfig(algo="ppo", ema_tau=0.02),
         train=TrainConfig(task="ppo", steps=500),
         # r3: fused MHA blocks on the rollout/act path (XLA twin carries
         # the PPO loss gradients) — see c4 note + BASELINE.md.

@@ -29,6 +29,10 @@ Array = jax.Array
 
 class PPOState(NamedTuple):
     params: Any
+    ema_params: Any        # Polyak-averaged params (rl.ema_tau>0), one lerp
+    # per UPDATE — the deployment policy, mirroring DQNState.ema_params
+    # (collapse_investigation.md: the param trajectory's mean out-evals
+    # endpoint snapshots); frozen at the init copy when rl.ema_tau == 0.
     opt_state: Any
     env_states: Any
     key: Array
@@ -75,7 +79,11 @@ def init(cfg: ExperimentConfig, key: Array) -> PPOState:
     params = init_params(cfg, key)
     opt_state = make_optimizer(cfg).init(params)
     zeros = jnp.zeros((cfg.rl.num_envs,), jnp.float32)
-    return PPOState(params=params, opt_state=opt_state, env_states=env_states,
+    # Distinct buffer: the jitted update donates the whole state and XLA
+    # rejects donating the same buffer twice (see rl/dqn.py init).
+    ema_params = jax.tree_util.tree_map(jnp.copy, params)
+    return PPOState(params=params, ema_params=ema_params,
+                    opt_state=opt_state, env_states=env_states,
                     key=k_state, update=jnp.int32(0), ep_return=zeros,
                     last_return=jnp.copy(zeros))
 
@@ -177,8 +185,11 @@ def shard_state(state: PPOState, mesh, tp: bool = True) -> PPOState:
     use_tp = tp and mesh.shape.get(mesh_lib.MODEL_AXIS, 1) > 1
     params = (apply_tp(state.params, mesh) if use_tp
               else jax.device_put(state.params, repl))
+    ema_params = (apply_tp(state.ema_params, mesh) if use_tp
+                  else jax.device_put(state.ema_params, repl))
     return PPOState(
         params=params,
+        ema_params=ema_params,
         opt_state=jax.device_put(state.opt_state, repl),
         env_states=jax.tree_util.tree_map(shard_env_leaf, state.env_states),
         key=jax.device_put(state.key, repl),
@@ -256,8 +267,19 @@ def _update_body(cfg: ExperimentConfig):
             epoch_fn, (state.params, state.opt_state),
             jax.random.split(k_perm, cfg.rl.ppo_epochs))
 
+        # Deployment EMA: one lerp per update (DQN lerps per learn step;
+        # a PPO update is the analogous unit). Static flag — no traced
+        # branch; pass-through keeps the donated buffer alive when off.
+        if cfg.rl.ema_tau > 0:
+            e = cfg.rl.ema_tau
+            ema_params = jax.tree_util.tree_map(
+                lambda m, p: (1.0 - e) * m + e * p, state.ema_params, params)
+        else:
+            ema_params = state.ema_params
+
         new_state = PPOState(
-            params=params, opt_state=opt_state, env_states=env_states,
+            params=params, ema_params=ema_params, opt_state=opt_state,
+            env_states=env_states,
             key=key, update=state.update + 1, ep_return=ep_return,
             last_return=last_return)
         metrics = {

@@ -99,9 +99,13 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
         from multimodal_sc_tpu.rl.warmstart import load_jscc_into_perception
 
         params = load_jscc_into_perception(cfg, state.params, init_from)
+        # Target AND deployment EMA restart from the warm params — leaving
+        # either at the random-init copy would blend junk into early TD
+        # targets / the averaged deployment policy.
         state = state._replace(
             params=params,
-            target_params=jax.tree_util.tree_map(jax.numpy.copy, params))
+            target_params=jax.tree_util.tree_map(jax.numpy.copy, params),
+            ema_params=jax.tree_util.tree_map(jax.numpy.copy, params))
 
     writer = MetricsWriter(metrics_path, config_json=cfg.to_json())
     watchdog = NaNWatchdog()

@@ -30,8 +30,10 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None,
     if init_from:
         from multimodal_sc_tpu.rl.warmstart import load_jscc_into_perception
 
-        state = state._replace(params=load_jscc_into_perception(
-            cfg, state.params, init_from))
+        warm = load_jscc_into_perception(cfg, state.params, init_from)
+        state = state._replace(
+            params=warm,
+            ema_params=jax.tree_util.tree_map(jax.numpy.copy, warm))
     # Shard envs/accumulators over the device mesh (degrades to 1 chip).
     from multimodal_sc_tpu.runtime import mesh as mesh_lib
 

@@ -120,12 +120,6 @@ RUNS = [
                       "--kinds", "awgn,rayleigh",
                       "--set", f"train.checkpoint_dir={OUT}/ckpt_c4",
                       "--out", f"{OUT}/c4_policy_curves.json"]),
-    ("c5_snr_sweep", ["eval-policy", "--config", "c5", "--snr-sweep",
-                      "--episodes", "256",
-                      "--kinds", "awgn,rayleigh",
-                      "--set", "rl.num_envs=64",
-                      "--set", f"train.checkpoint_dir={OUT}/ckpt_c5",
-                      "--out", f"{OUT}/c5_policy_curves.json"]),
     # c5 at the r2-bar budget (150 updates), both eval modes recorded in
     # ONE artifact (VERDICT r2 item 4 — the r2 json only held the 60-update
     # run and an rc-1 eval).
@@ -141,6 +135,22 @@ RUNS = [
     ("c5_eval_greedy", ["eval-policy", "--config", "c5", "--episodes", "256",
                         "--set", "rl.num_envs=64",
                         "--set", f"train.checkpoint_dir={OUT}/ckpt_c5"]),
+    # The PPO deployment-EMA bar (rl.ema_tau=0.02 in the c5 preset —
+    # passive Polyak average of the policy, one lerp per update; mirrors
+    # the c4 EMA deployment story).
+    ("c5_eval_ema", ["eval-policy", "--config", "c5", "--episodes", "256",
+                     "--use-ema",
+                     "--set", "rl.num_envs=64",
+                     "--set", f"train.checkpoint_dir={OUT}/ckpt_c5"]),
+    # After c5 trains: eval-policy falls back to UNTRAINED params when the
+    # checkpoint is missing, so sweeping before training silently records
+    # a garbage curve.
+    ("c5_snr_sweep", ["eval-policy", "--config", "c5", "--snr-sweep",
+                      "--episodes", "256",
+                      "--kinds", "awgn,rayleigh",
+                      "--set", "rl.num_envs=64",
+                      "--set", f"train.checkpoint_dir={OUT}/ckpt_c5",
+                      "--out", f"{OUT}/c5_policy_curves.json"]),
     # Entropy-anneal experiment arm (r2 memory lead): 0.01 -> 0.001 over
     # the run; expected to sharpen the policy for greedy deployment.
     ("c5_anneal", ["train", "--config", "c5",

@@ -1,5 +1,6 @@
-"""Deployment-EMA of the DQN online params (rl.ema_tau): the tracked tree
-is exactly the Polyak recursion over the per-learn-step param trajectory."""
+"""Deployment-EMA of the online params (rl.ema_tau): the tracked tree is
+exactly the Polyak recursion over the param trajectory — per learn step
+for DQN, per update for PPO."""
 
 import jax
 import jax.numpy as jnp
@@ -76,3 +77,62 @@ def test_ema_in_chunked_dispatch_matches_singles(key):
     s2, _ = it4(s2)
     for a, b in zip(_leaves(s1.ema_params), _leaves(s2.ema_params)):
         np.testing.assert_array_equal(a, b)
+
+
+TINY_PPO = TINY + [
+    "rl.num_envs=4", "rl.rollout_length=4",
+    "rl.num_minibatches=2", "rl.ppo_epochs=1",
+]
+
+
+def test_ppo_ema_matches_manual_recursion(key):
+    """PPO lerps the EMA once per UPDATE with the post-epochs params."""
+    from multimodal_sc_tpu.rl import ppo as ppo_lib
+
+    tau = 0.25
+    cfg = get_preset("c5").override_str(TINY_PPO + [f"rl.ema_tau={tau}"])
+    state = ppo_lib.init(cfg, key)
+    step = ppo_lib.make_train_step(cfg)
+    ema = _leaves(state.params)
+    for _ in range(3):
+        state, _ = step(state)
+        p = _leaves(state.params)
+        ema = [(1.0 - tau) * e + tau * x for e, x in zip(ema, p)]
+    for e_ref, e_got in zip(ema, _leaves(state.ema_params)):
+        np.testing.assert_allclose(e_got, e_ref, rtol=1e-6, atol=1e-7)
+    assert any(np.max(np.abs(a - b)) > 0 for a, b in
+               zip(_leaves(state.params), _leaves(state.ema_params)))
+
+
+def test_ppo_ema_frozen_when_tau_zero(key):
+    from multimodal_sc_tpu.rl import ppo as ppo_lib
+
+    cfg = get_preset("c5").override_str(TINY_PPO + ["rl.ema_tau=0.0"])
+    state = ppo_lib.init(cfg, key)
+    init_ema = _leaves(state.ema_params)
+    step = ppo_lib.make_train_step(cfg)
+    for _ in range(2):
+        state, _ = step(state)
+    for a, b in zip(init_ema, _leaves(state.ema_params)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_ppo_ema_in_chunked_dispatch_matches_singles(key):
+    """Unlike the DQN case above, jit(body) and jit(scan(body)) are two
+    DIFFERENT compiled graphs for the PPO update and XLA reassociates the
+    minibatch reductions differently, so accumulated params (and hence the
+    EMA of them) agree only to float noise, not bit-exactly (CLAUDE.md:
+    chunk-vs-singles gates on metrics; param comparisons across graphs are
+    ungateable). Gate the EMA at tight-allclose over 3 updates."""
+    from multimodal_sc_tpu.rl import ppo as ppo_lib
+
+    cfg = get_preset("c5").override_str(TINY_PPO + ["rl.ema_tau=0.125"])
+    s1 = ppo_lib.init(cfg, key)
+    s2 = jax.tree_util.tree_map(jnp.copy, s1)
+    step1 = ppo_lib.make_train_step(cfg)
+    step3 = ppo_lib.make_train_step_chunked(cfg, 3)
+    for _ in range(3):
+        s1, _ = step1(s1)
+    s2, _ = step3(s2)
+    for a, b in zip(_leaves(s1.ema_params), _leaves(s2.ema_params)):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-7)
