@@ -121,9 +121,13 @@ def test_ppo_ema_in_chunked_dispatch_matches_singles(key):
     """Unlike the DQN case above, jit(body) and jit(scan(body)) are two
     DIFFERENT compiled graphs for the PPO update and XLA reassociates the
     minibatch reductions differently, so accumulated params (and hence the
-    EMA of them) agree only to float noise, not bit-exactly (CLAUDE.md:
-    chunk-vs-singles gates on metrics; param comparisons across graphs are
-    ungateable). Gate the EMA at tight-allclose over 3 updates."""
+    EMA of them) agree only to float noise, not bit-exactly or to any fixed
+    tolerance (CLAUDE.md: chunk-vs-singles gates on metrics; param
+    comparisons across graphs are ungateable). The EMA is a CONVEX
+    combination of the param trajectory, so its cross-graph divergence is
+    bounded by the params' own divergence — gate it there: a cadence bug
+    (lerping once per chunk instead of once per update) would move the EMA
+    by ~tau * (params - init), orders of magnitude above the float noise."""
     from multimodal_sc_tpu.rl import ppo as ppo_lib
 
     cfg = get_preset("c5").override_str(TINY_PPO + ["rl.ema_tau=0.125"])
@@ -134,5 +138,16 @@ def test_ppo_ema_in_chunked_dispatch_matches_singles(key):
     for _ in range(3):
         s1, _ = step1(s1)
     s2, _ = step3(s2)
-    for a, b in zip(_leaves(s1.ema_params), _leaves(s2.ema_params)):
-        np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-7)
+    param_noise = max(
+        float(np.max(np.abs(a - b)))
+        for a, b in zip(_leaves(s1.params), _leaves(s2.params)))
+    bound = max(4.0 * param_noise, 1e-6)
+    ema_div = max(
+        float(np.max(np.abs(a - b)))
+        for a, b in zip(_leaves(s1.ema_params), _leaves(s2.ema_params)))
+    assert ema_div <= bound, (ema_div, param_noise)
+    # And the chunked EMA genuinely moved off init (tau was applied).
+    init_ema = _leaves(ppo_lib.init(cfg, key).ema_params)
+    moved = max(float(np.max(np.abs(a - b)))
+                for a, b in zip(_leaves(s2.ema_params), init_ema))
+    assert moved > bound, (moved, bound)
