@@ -106,7 +106,13 @@ def c5_ppo_mesh() -> ExperimentConfig:
         # unchanged); deploy/eval it with --use-ema. Mirrors the c4 EMA
         # deployment policy at the PPO update cadence.
         rl=RLConfig(algo="ppo", ema_tau=0.02),
-        train=TrainConfig(task="ppo", steps=500),
+        # r3 lr study (results_r3/ppo_recipe.json, 5 arms x 2 seeds):
+        # 3e-4 beats the old 1e-3 default on every deployment mode by
+        # min-across-seeds (sampled 68.5/82.5, EMA greedy 60.0/72.4 vs
+        # 46.7 at 1e-3); 1e-4 is close but loses on sampled (55.8).
+        # 300 updates at 3e-4 did NOT beat 150 (greedy 48.2) — keep the
+        # 150-update budget for the bar runs.
+        train=TrainConfig(task="ppo", steps=500, lr=3e-4),
         # r3: fused MHA blocks on the rollout/act path (XLA twin carries
         # the PPO loss gradients) — see c4 note + BASELINE.md.
         pallas_mha_block=True,

@@ -14,7 +14,13 @@ Polyak average) at 256 episodes, in-process from the live state — no
 checkpoint plumbing. Reference arm (lr 1e-3, 150 updates) is the r3
 baselines artifact: train 55.4, sampled 46.7 +/- 28.3, greedy 44.4.
 
-Usage: python scripts/ppo_recipe.py [outfile.json]
+Stage 2 (`--stage2`): seed-1 confirmation of the two winning lrs.
+Stage-1 found 3e-4/1e-4 both beat 1e-3 at seed 0 on every deployment
+mode; the collapse hunt's lesson (collapse_investigation.md) is that
+recipe selection must use min-across-seeds, so the preset flip waits
+for these.
+
+Usage: python scripts/ppo_recipe.py [outfile.json] [--stage2]
 """
 
 from __future__ import annotations
@@ -61,16 +67,30 @@ def run_arm(name, cfg, updates, seed=0):
 
 
 def main():
-    outfile = (sys.argv[1] if len(sys.argv) > 1
-               else "results_r3/ppo_recipe.json")
+    argv = [a for a in sys.argv[1:] if a != "--stage2"]
+    stage2 = "--stage2" in sys.argv[1:]
+    outfile = argv[0] if argv else "results_r3/ppo_recipe.json"
     base = msc.get_preset("c5").override_str(["rl.num_envs=64"])
     results = {}
-    results["A_lr3e4"] = run_arm(
-        "A lr3e4", base.override_str(["train.lr=0.0003"]), 150)
-    results["B_lr1e4"] = run_arm(
-        "B lr1e4", base.override_str(["train.lr=0.0001"]), 150)
-    results["C_lr3e4_300"] = run_arm(
-        "C lr3e4 300u", base.override_str(["train.lr=0.0003"]), 300)
+    try:
+        with open(outfile) as f:
+            results = json.load(f)   # merge stage 2 into stage 1
+    except FileNotFoundError:
+        pass
+    if stage2:
+        results["D_lr3e4_s1"] = run_arm(
+            "D lr3e4 s1", base.override_str(
+                ["train.lr=0.0003", "train.seed=1"]), 150, seed=1)
+        results["E_lr1e4_s1"] = run_arm(
+            "E lr1e4 s1", base.override_str(
+                ["train.lr=0.0001", "train.seed=1"]), 150, seed=1)
+    else:
+        results["A_lr3e4"] = run_arm(
+            "A lr3e4", base.override_str(["train.lr=0.0003"]), 150)
+        results["B_lr1e4"] = run_arm(
+            "B lr1e4", base.override_str(["train.lr=0.0001"]), 150)
+        results["C_lr3e4_300"] = run_arm(
+            "C lr3e4 300u", base.override_str(["train.lr=0.0003"]), 300)
     with open(outfile, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {outfile}")

@@ -151,6 +151,27 @@ RUNS = [
                       "--set", "rl.num_envs=64",
                       "--set", f"train.checkpoint_dir={OUT}/ckpt_c5",
                       "--out", f"{OUT}/c5_policy_curves.json"]),
+    # Second seed for the per-seed c5 gate (preset lr is now 3e-4 from
+    # the r3 lr study, results_r3/ppo_recipe.json; selection was
+    # min-across-seeds per the collapse hunt's lesson).
+    ("c5_s1", ["train", "--config", "c5",
+               "--set", "train.steps=150", "--set", "train.log_every=10",
+               "--set", "rl.num_envs=64",
+               "--set", "train.seed=1",
+               "--set", f"train.checkpoint_dir={OUT}/ckpt_c5_s1",
+               "--set", "train.checkpoint_every=150"]),
+    ("c5_s1_eval_sampled", ["eval-policy", "--config", "c5", "--sample",
+                            "--episodes", "256",
+                            "--set", "rl.num_envs=64",
+                            "--set", "train.seed=1",
+                            "--set",
+                            f"train.checkpoint_dir={OUT}/ckpt_c5_s1"]),
+    ("c5_s1_eval_ema", ["eval-policy", "--config", "c5",
+                        "--episodes", "256", "--use-ema",
+                        "--set", "rl.num_envs=64",
+                        "--set", "train.seed=1",
+                        "--set",
+                        f"train.checkpoint_dir={OUT}/ckpt_c5_s1"]),
     # Entropy-anneal experiment arm (r2 memory lead): 0.01 -> 0.001 over
     # the run; expected to sharpen the policy for greedy deployment.
     ("c5_anneal", ["train", "--config", "c5",
