@@ -16,8 +16,10 @@ from multimodal_sc_tpu.version import __version__
 from multimodal_sc_tpu.channel import (
     awgn,
     channel,
+    ofdm,
     power_normalize,
     rayleigh,
+    rician,
 )
 from multimodal_sc_tpu.config.configs import ExperimentConfig
 from multimodal_sc_tpu.config.presets import PRESETS, get_preset
@@ -27,8 +29,10 @@ __all__ = [
     "__version__",
     "awgn",
     "channel",
+    "ofdm",
     "power_normalize",
     "rayleigh",
+    "rician",
     "ExperimentConfig",
     "PRESETS",
     "get_preset",

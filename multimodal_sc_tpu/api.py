@@ -21,19 +21,40 @@ Array = jax.Array
 def reconstruct(
     model, params, img: Array, snr_db, key: Array,
     kind: str = "awgn", normalize: bool = True, modulation: int = 0,
+    pilots: int = 0, subcarriers: int = 64, taps: int = 8,
+    rate_sym: int = 0,
 ) -> Tuple[Array, Array]:
     """Full encode -> channel -> decode pass; returns (recon, symbols).
 
-    One jitted graph when called under jit (SURVEY.md §3.2a). `normalize`
-    and `modulation` must match the training ChannelConfig so evaluation
-    runs over the deployed (analog or M-QAM) transmission mode.
+    One jitted graph when called under jit (SURVEY.md §3.2a). The channel
+    statics (`normalize`, `modulation`, `pilots`, `subcarriers`, `taps`)
+    must match the training ChannelConfig so evaluation runs over the
+    deployed transmission mode (analog or M-QAM, perfect or pilot-
+    estimated CSI, flat or OFDM multipath).
+
+    `rate_sym` (adaptive-rate codecs only): transmit the first rate_sym
+    of c_sym symbol channels; 0 = full rate. Ignored for fixed-rate
+    codecs.
     """
     if jnp.ndim(snr_db) == 0:
         snr_db = jnp.full((img.shape[0],), snr_db, jnp.float32)
-    z = model.apply({"params": params}, img, snr_db, method="encode")
+    if getattr(model, "adaptive_rate", False):
+        from multimodal_sc_tpu.channel import rate_mask
+
+        c_sym = model.c_sym
+        m_val = rate_sym if rate_sym else c_sym
+        m = jnp.full((img.shape[0],), m_val, jnp.int32)
+        rkw = {"rate": m.astype(jnp.float32) / c_sym}
+    else:
+        rkw, m = {}, None
+    z = model.apply({"params": params}, img, snr_db, method="encode", **rkw)
+    mask = (None if m is None
+            else rate_mask(z.shape[0], z.shape[1], model.c_sym, m))
     z_hat = channel_op(z, snr_db, kind, key, normalize=normalize,
-                       modulation=modulation)
-    recon = model.apply({"params": params}, z_hat, snr_db, method="decode")
+                       modulation=modulation, pilots=pilots,
+                       subcarriers=subcarriers, taps=taps, mask=mask)
+    recon = model.apply({"params": params}, z_hat, snr_db, method="decode",
+                        **rkw)
     return recon, z
 
 

@@ -153,6 +153,10 @@ def main(argv=None) -> int:
     e.add_argument("--config", required=True)
     e.add_argument("--set", action="append", default=[], dest="overrides")
     e.add_argument("--out", default=None, help="curve JSON output path")
+    e.add_argument("--rate-sweep", action="store_true", dest="rate_sweep",
+                   help="PSNR-vs-bandwidth curve instead of PSNR-vs-SNR "
+                        "(adaptive_rate camera configs only; evaluated at "
+                        "channel.snr_db over the first --kinds entry)")
     e.add_argument("--kinds", default="awgn,rayleigh",
                    help="comma list of channel kinds to sweep "
                         "(awgn,rayleigh,rician,ideal)")
@@ -362,6 +366,7 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "eval":
+        from multimodal_sc_tpu.channel import channel_kwargs
         from multimodal_sc_tpu.envs.datasets import ImageDataset
         from multimodal_sc_tpu.evaluation import snr_sweep
         from multimodal_sc_tpu.train import jscc
@@ -414,13 +419,11 @@ def main(argv=None) -> int:
             cam_curves = snr_sweep.sweep_camera(
                 cam_model, state.params["camera"], images, key,
                 kinds=kinds,
-                normalize=cfg.channel.normalize,
-                modulation=cfg.channel.modulation)
+                **channel_kwargs(cfg.channel))
             lid_curves = snr_sweep.sweep_lidar(
                 lid_model, state.params["lidar"], pts, mask, target,
                 jax.random.fold_in(key, 0x11DA), kinds=kinds,
-                normalize=cfg.channel.normalize,
-                modulation=cfg.channel.modulation)
+                **channel_kwargs(cfg.channel))
             print("camera PSNR:")
             print(snr_sweep.format_table(cam_curves))
             print("camera SSIM:")
@@ -452,11 +455,28 @@ def main(argv=None) -> int:
             seg = jax.numpy.asarray(seg)
         else:
             images, seg = next(data), None
+        if getattr(args, "rate_sweep", False):
+            if not cfg.camera.adaptive_rate:
+                print("--rate-sweep requires camera.adaptive_rate=true",
+                      file=sys.stderr)
+                return 2
+            kind = args.kinds.split(",")[0].strip()
+            curve = snr_sweep.sweep_camera_rate(
+                model, state.params, jax.numpy.asarray(images), key,
+                snr_db=cfg.channel.snr_db, kind=kind,
+                **channel_kwargs(cfg.channel))
+            print(f"{'rate':>8} {'psnr':>10} {'ssim':>10}   ({kind} @ "
+                  f"{cfg.channel.snr_db} dB)")
+            for p in curve:
+                print(f"{p['rate']:>8.3f} {p['psnr']:>10.3f} "
+                      f"{p['ssim']:>10.3f}")
+            if args.out:
+                snr_sweep.save_curves({kind: curve}, args.out)
+            return 0
         curves = snr_sweep.sweep_camera(
             model, state.params, jax.numpy.asarray(images), key, seg=seg,
             kinds=tuple(k.strip() for k in args.kinds.split(",")),
-            normalize=cfg.channel.normalize,
-            modulation=cfg.channel.modulation)
+            **channel_kwargs(cfg.channel))
         print(snr_sweep.format_table(curves))
         print(snr_sweep.format_table(curves, metric="ssim"))
         if with_seg:

@@ -58,6 +58,28 @@ class SNRFiLM(nn.Module):
         return x * (1.0 + gamma.reshape(shape)) + beta.reshape(shape)
 
 
+class RateFiLM(nn.Module):
+    """FiLM modulation from the adaptive-rate fraction m/c_sym in (0, 1].
+
+    Bandwidth-agile deep-JSCC (DeepJSCC-l style): conditioning the
+    bottleneck on the deployed rate lets one model reorganize information
+    into the channels that will actually be transmitted.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: Array, rate: Array) -> Array:
+        # rate: (B,) in (0, 1] -> centre to roughly [-1, 1].
+        r = (rate.reshape(-1, 1).astype(x.dtype) - 0.5) * 2.0
+        h = nn.Dense(32, name="fc1")(r)
+        h = nn.relu(h)
+        gb = nn.Dense(2 * self.features, name="fc2")(h)
+        gamma, beta = jnp.split(gb, 2, axis=-1)
+        shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (self.features,)
+        return x * (1.0 + gamma.reshape(shape)) + beta.reshape(shape)
+
+
 class CameraEncoderCNN(nn.Module):
     """Image (B,H,W,3) in [0,1] -> channel symbols (B, k, 2).
 
@@ -71,7 +93,8 @@ class CameraEncoderCNN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, img: Array, snr_db: Optional[Array] = None) -> Array:
+    def __call__(self, img: Array, snr_db: Optional[Array] = None,
+                 rate: Optional[Array] = None) -> Array:
         x = img.astype(self.dtype)
         strides = (2, 2, 1, 1)
         for i, (f, s) in enumerate(zip(self.features, strides)):
@@ -79,6 +102,8 @@ class CameraEncoderCNN(nn.Module):
                                dtype=self.dtype, name=f"block{i}")(x)
         if snr_db is not None:
             x = SNRFiLM(self.features[-1], name="snr_film")(x, snr_db)
+        if rate is not None:
+            x = RateFiLM(self.features[-1], name="rate_film")(x, rate)
         x = FusedConvPReLU(2 * self.c_sym, 5, with_prelu=False,
                            use_pallas=self.use_pallas, dtype=self.dtype,
                            name="conv_out")(x)
@@ -98,7 +123,8 @@ class CameraDecoderCNN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, z_hat: Array, snr_db: Optional[Array] = None):
+    def __call__(self, z_hat: Array, snr_db: Optional[Array] = None,
+                 rate: Optional[Array] = None):
         b = z_hat.shape[0]
         h, w = self.image_hw[0] // 4, self.image_hw[1] // 4
         x = z_hat.reshape(b, h, w, 2 * self.c_sym).astype(self.dtype)
@@ -106,6 +132,8 @@ class CameraDecoderCNN(nn.Module):
                            dtype=self.dtype, name="block_in")(x)
         if snr_db is not None:
             x = SNRFiLM(self.features[0], name="snr_film")(x, snr_db)
+        if rate is not None:
+            x = RateFiLM(self.features[0], name="rate_film")(x, rate)
         strides = (1, 1, 2, 2)
         for i, (f, s) in enumerate(zip(self.features, strides)):
             if s == 1:
@@ -162,6 +190,7 @@ class CameraJSCC(nn.Module):
     out_channels: int = 3
     seg_classes: int = 0
     snr_conditioning: bool = False
+    adaptive_rate: bool = False   # bandwidth-agile: rate-FiLM conditioning
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -180,22 +209,38 @@ class CameraJSCC(nn.Module):
             dtype=self.dtype,
         )
 
-    def encode(self, img: Array, snr_db: Optional[Array] = None) -> Array:
-        return self.encoder(img, snr_db if self.snr_conditioning else None)
+    def _rate(self, rate: Optional[Array]) -> Optional[Array]:
+        if not self.adaptive_rate:
+            return None
+        if rate is None:
+            raise ValueError("adaptive_rate codec requires a rate argument")
+        return rate
 
-    def decode(self, z_hat: Array, snr_db: Optional[Array] = None) -> Array:
-        out = self.decoder(z_hat, snr_db if self.snr_conditioning else None)
+    def encode(self, img: Array, snr_db: Optional[Array] = None,
+               rate: Optional[Array] = None) -> Array:
+        return self.encoder(img, snr_db if self.snr_conditioning else None,
+                            self._rate(rate))
+
+    def decode(self, z_hat: Array, snr_db: Optional[Array] = None,
+               rate: Optional[Array] = None) -> Array:
+        out = self.decoder(z_hat, snr_db if self.snr_conditioning else None,
+                           self._rate(rate))
         return out[0] if self.seg_classes > 0 else out
 
-    def decode_seg(self, z_hat: Array, snr_db: Optional[Array] = None):
+    def decode_seg(self, z_hat: Array, snr_db: Optional[Array] = None,
+                   rate: Optional[Array] = None):
         """(recon, seg_logits); only valid when seg_classes > 0."""
         if self.seg_classes <= 0:
             raise ValueError("decode_seg requires seg_classes > 0")
-        return self.decoder(z_hat, snr_db if self.snr_conditioning else None)
+        return self.decoder(z_hat, snr_db if self.snr_conditioning else None,
+                            self._rate(rate))
 
-    def __call__(self, img: Array, snr_db: Optional[Array] = None) -> Array:
+    def __call__(self, img: Array, snr_db: Optional[Array] = None,
+                 rate: Optional[Array] = None) -> Array:
         # Init/inspection path: encode then decode through an ideal channel.
-        return self.decode(self.encode(img, snr_db), snr_db)
+        if self.adaptive_rate and rate is None:
+            rate = jnp.ones((img.shape[0],), jnp.float32)
+        return self.decode(self.encode(img, snr_db, rate), snr_db, rate)
 
     @property
     def k(self) -> int:

@@ -37,20 +37,29 @@ def _replace_path(obj, path: str, value):
 
 @dataclass(frozen=True)
 class ChannelConfig:
-    kind: str = "awgn"            # ideal | awgn | rayleigh | rician
+    kind: str = "awgn"            # ideal | awgn | rayleigh | rician | ofdm
     snr_db: float = 10.0
     snr_min_db: float = -5.0      # for per-example SNR sweep training
     snr_max_db: float = 25.0
     random_snr: bool = False
     normalize: bool = True
     modulation: int = 0           # 0 = analog JSCC; 4/16/64 = square M-QAM
+    pilots: int = 0               # 0 = perfect CSI; P>0 = LS estimate from
+                                  # P unit-power pilots (fading kinds)
+    ofdm_subcarriers: int = 64    # kind="ofdm" only
+    ofdm_taps: int = 8            # multipath taps, exponential PDP
 
     def __post_init__(self):
         # Fail at config construction, not at channel() trace time.
-        kinds = ("ideal", "awgn", "rayleigh", "rician")
+        kinds = ("ideal", "awgn", "rayleigh", "rician", "ofdm")
         if self.kind not in kinds:
             raise ValueError(
                 f"channel.kind must be one of {kinds}, got {self.kind!r}")
+        if self.pilots < 0:
+            raise ValueError(f"channel.pilots must be >= 0, got {self.pilots}")
+        if self.ofdm_subcarriers < 1 or self.ofdm_taps < 1:
+            raise ValueError("channel.ofdm_subcarriers and channel.ofdm_taps "
+                             "must be >= 1")
 
 
 @dataclass(frozen=True)
@@ -61,11 +70,24 @@ class CameraCodecConfig:
     c_sym: int = 8
     seg_classes: int = 0          # >0: receiver segmentation head (mIoU)
     snr_conditioning: bool = False
+    # Bandwidth-agile JSCC (DeepJSCC-l style): train with per-example
+    # random symbol-channel masking so ONE model deploys at any rate
+    # m/c_sym, m in [rate_min_sym, c_sym]. CNN arch only.
+    adaptive_rate: bool = False
+    rate_min_sym: int = 1
     # ViT-specific
     patch: int = 4
     dim: int = 128
     depth: int = 4
     heads: int = 4
+
+    def __post_init__(self):
+        if not 1 <= self.rate_min_sym <= self.c_sym:
+            raise ValueError(
+                f"camera.rate_min_sym must be in [1, c_sym={self.c_sym}], "
+                f"got {self.rate_min_sym}")
+        if self.adaptive_rate and self.arch != "cnn":
+            raise ValueError("camera.adaptive_rate requires arch='cnn'")
 
 
 @dataclass(frozen=True)

@@ -34,6 +34,9 @@ def sweep_camera(
     seg: Array = None,
     normalize: bool = True,
     modulation: int = 0,
+    pilots: int = 0,
+    subcarriers: int = 64,
+    taps: int = 8,
 ) -> Dict[str, List[dict]]:
     """PSNR + SSIM (+ mIoU when the codec has a seg head and `seg` labels
     are given) curves for an image codec:
@@ -41,27 +44,41 @@ def sweep_camera(
     (BASELINE.json:8); SSIM (tf.image-oracle-tested) adds the perceptual
     axis the MSE loss can trade away.
 
-    `normalize`/`modulation` must mirror the training ChannelConfig so a
-    model trained in M-QAM mode is evaluated over the same digital channel
-    (ADVICE r1)."""
+    `normalize`/`modulation`/`pilots`/`subcarriers`/`taps` must mirror the
+    training ChannelConfig so a model trained in M-QAM / estimated-CSI /
+    OFDM mode is evaluated over the same deployed channel (ADVICE r1)."""
 
     import functools
 
     with_seg = seg is not None and getattr(model, "seg_classes", 0) > 0
+    adaptive = getattr(model, "adaptive_rate", False)
 
-    @functools.partial(jax.jit, static_argnames=("kind",))
-    def eval_point(params, img, seg, snr_db, key, kind):
+    @functools.partial(jax.jit, static_argnames=("kind", "rate_sym"))
+    def eval_point(params, img, seg, snr_db, key, kind, rate_sym=0):
         snr_vec = jnp.full((img.shape[0],), snr_db, jnp.float32)
-        z = model.apply({"params": params}, img, snr_vec, method="encode")
+        if adaptive:
+            from multimodal_sc_tpu.channel import rate_mask
+
+            m_val = rate_sym if rate_sym else model.c_sym
+            m = jnp.full((img.shape[0],), m_val, jnp.int32)
+            rkw = {"rate": m.astype(jnp.float32) / model.c_sym}
+        else:
+            rkw, m = {}, None
+        z = model.apply({"params": params}, img, snr_vec, method="encode",
+                        **rkw)
+        mask = (None if m is None
+                else rate_mask(z.shape[0], z.shape[1], model.c_sym, m))
         z_hat = channel_op(z, snr_vec, kind, key, normalize=normalize,
-                           modulation=modulation)
+                           modulation=modulation, pilots=pilots,
+                           subcarriers=subcarriers, taps=taps, mask=mask)
         if with_seg:
             rec, seg_logits = model.apply({"params": params}, z_hat, snr_vec,
-                                          method="decode_seg")
+                                          method="decode_seg", **rkw)
             pred = jnp.argmax(seg_logits, axis=-1)
             return (psnr(rec, img), ssim(rec, img),
                     miou(pred, seg, model.seg_classes))
-        rec = model.apply({"params": params}, z_hat, snr_vec, method="decode")
+        rec = model.apply({"params": params}, z_hat, snr_vec,
+                          method="decode", **rkw)
         return psnr(rec, img), ssim(rec, img), jnp.float32(0)
 
     results: Dict[str, List[dict]] = {}
@@ -86,12 +103,63 @@ def sweep_camera(
     return results
 
 
+def sweep_camera_rate(
+    model, params, images: Array, key: Array,
+    snr_db: float = 10.0,
+    rates_sym: Sequence[int] = (),
+    kind: str = "awgn",
+    batches_per_point: int = 4,
+    normalize: bool = True,
+    modulation: int = 0,
+    pilots: int = 0,
+    subcarriers: int = 64,
+    taps: int = 8,
+) -> List[dict]:
+    """PSNR/SSIM vs deployed bandwidth for an adaptive-rate codec.
+
+    One trained model evaluated at every rate m/c_sym, m in `rates_sym`
+    (default 1..c_sym): the bandwidth-agility curve (codec/camera_cnn.py
+    RateFiLM + channel/layer.py rate_mask). Returns
+    [{rate_sym, rate, psnr, ssim}].
+    """
+    from multimodal_sc_tpu import api
+
+    if not getattr(model, "adaptive_rate", False):
+        raise ValueError("sweep_camera_rate requires an adaptive_rate codec")
+    rates = tuple(rates_sym) or tuple(range(1, model.c_sym + 1))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("rate_sym",))
+    def eval_point(params, img, key, rate_sym):
+        rec, _ = api.reconstruct(
+            model, params, img, float(snr_db), key, kind,
+            normalize=normalize, modulation=modulation, pilots=pilots,
+            subcarriers=subcarriers, taps=taps, rate_sym=rate_sym)
+        return psnr(rec, img), ssim(rec, img)
+
+    curve = []
+    for ri, m in enumerate(rates):
+        pv, sv = [], []
+        for b in range(batches_per_point):
+            k = jax.random.fold_in(key, ri * 100 + b)
+            p, s = eval_point(params, images, k, int(m))
+            pv.append(float(p))
+            sv.append(float(s))
+        curve.append({"rate_sym": int(m), "rate": m / model.c_sym,
+                      "psnr": float(np.mean(pv)), "ssim": float(np.mean(sv))})
+    return curve
+
+
 def sweep_lidar(
     model, params, points: Array, mask: Array, occ_target: Array, key: Array,
     snrs_db: Sequence[float] = DEFAULT_SNRS,
     kinds: Sequence[str] = ("awgn", "rayleigh"),
     normalize: bool = True,
     modulation: int = 0,
+    pilots: int = 0,
+    subcarriers: int = 64,
+    taps: int = 8,
 ) -> Dict[str, List[dict]]:
     """mIoU curve for the LiDAR BEV codec.
 
@@ -108,7 +176,8 @@ def sweep_lidar(
         z = model.apply({"params": params}, (points, mask), method="encode")
         snr_vec = jnp.full((points.shape[0],), snr_db, jnp.float32)
         z_hat = channel_op(z, snr_vec, kind, key, normalize=normalize,
-                           modulation=modulation)
+                           modulation=modulation, pilots=pilots,
+                           subcarriers=subcarriers, taps=taps)
         logits = model.apply({"params": params}, z_hat, method="decode")
         if n_classes > 1:
             pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_sc_tpu.channel import channel as channel_op
+from multimodal_sc_tpu.channel import channel_kwargs
 from multimodal_sc_tpu.codec.camera_cnn import CameraEncoderCNN, CameraTokensCNN
 from multimodal_sc_tpu.codec.lidar_bev import BEVBackbone, PillarFeatureNet
 from multimodal_sc_tpu.config.configs import ExperimentConfig
@@ -97,8 +98,7 @@ class SemanticPerception(nn.Module):
         # Camera branch: encode -> channel -> token decode.
         z_cam = self.cam_enc(image, None)
         z_cam_hat = channel_op(z_cam, snr_db, ch.kind, k_cam,
-                               normalize=ch.normalize,
-                               modulation=ch.modulation)
+                               **channel_kwargs(ch))
         cam_tokens = self.cam_tok(z_cam_hat, None)
 
         # LiDAR branch: pillars -> BEV -> symbols -> channel -> tokens.
@@ -108,8 +108,7 @@ class SemanticPerception(nn.Module):
         b, h, w, _ = sym.shape
         z_lid = sym.reshape(b, h * w * lid.c_sym, 2).astype(jnp.float32)
         z_lid_hat = channel_op(z_lid, snr_db, ch.kind, k_lid,
-                               normalize=ch.normalize,
-                               modulation=ch.modulation)
+                               **channel_kwargs(ch))
         x = z_lid_hat.reshape(b, h, w, 2 * lid.c_sym)
         lid_tokens = self.lid_dec(self.lid_sym_embed(x)).reshape(
             b, h * w, lid.pillar_dim).astype(jnp.float32)

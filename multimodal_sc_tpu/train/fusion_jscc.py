@@ -19,6 +19,7 @@ from flax import linen as nn
 from flax.training import train_state
 
 from multimodal_sc_tpu.channel import channel as channel_op
+from multimodal_sc_tpu.channel import channel_kwargs
 from multimodal_sc_tpu.codec.camera_vit import ViTJSCC
 from multimodal_sc_tpu.codec.camera_cnn import CameraJSCC
 from multimodal_sc_tpu.codec.lidar_bev import (
@@ -86,11 +87,9 @@ class LateFusionJSCC(nn.Module):
         z_cam = self.camera.encode(img, snr_db)
         z_lid = self.lidar.encode((points, mask))
         z_cam_hat = channel_op(z_cam, snr_db, ch.kind, k_cam,
-                               normalize=ch.normalize,
-                               modulation=ch.modulation)
+                               **channel_kwargs(ch))
         z_lid_hat = channel_op(z_lid, snr_db, ch.kind, k_lid,
-                               normalize=ch.normalize,
-                               modulation=ch.modulation)
+                               **channel_kwargs(ch))
         recon = self.camera.decode(z_cam_hat, snr_db)
         occ_logits = self.lidar.decode(z_lid_hat)
         return recon, occ_logits

@@ -17,6 +17,7 @@ import optax
 from flax.training import train_state
 
 from multimodal_sc_tpu.channel import channel as channel_op
+from multimodal_sc_tpu.channel import channel_kwargs
 from multimodal_sc_tpu.config.configs import ExperimentConfig
 from multimodal_sc_tpu.envs.datasets import ImageDataset
 from multimodal_sc_tpu.evaluation.metrics import psnr
@@ -42,6 +43,7 @@ def build_model(cfg: ExperimentConfig):
             image_hw=cfg.camera.image_hw,
             seg_classes=cfg.camera.seg_classes,
             snr_conditioning=cfg.camera.snr_conditioning,
+            adaptive_rate=cfg.camera.adaptive_rate,
             use_pallas=cfg.use_pallas,
             dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
         )
@@ -94,6 +96,8 @@ def _sample_snr(cfg: ExperimentConfig, key: Array, batch: int) -> Array:
 def reconstruct(
     params, model, img: Array, snr_db: Array, key: Array,
     kind: str, normalize: bool = True, modulation: int = 0,
+    pilots: int = 0, subcarriers: int = 64, taps: int = 8,
+    rate_sym: int = 0,
 ) -> Tuple[Array, Array]:
     """encode -> channel -> decode; returns (recon, symbols).
 
@@ -102,37 +106,56 @@ def reconstruct(
     from multimodal_sc_tpu import api
 
     return api.reconstruct(model, params, img, snr_db, key, kind, normalize,
-                           modulation)
+                           modulation, pilots, subcarriers, taps, rate_sym)
 
 
 def _step_body(cfg: ExperimentConfig, model):
     """Un-jitted single train step; shared by the per-step and chunked
     dispatch paths (identical numerics either way)."""
     kind = cfg.channel.kind
-    normalize = cfg.channel.normalize
-    modulation = cfg.channel.modulation
+    ch_kw = channel_kwargs(cfg.channel)
     with_seg = cfg.camera.seg_classes > 0 and cfg.camera.arch == "cnn"
+    adaptive = cfg.camera.adaptive_rate
+    c_sym, m_min = cfg.camera.c_sym, cfg.camera.rate_min_sym
 
-    def loss_fn(params, img, seg, snr_db, key):
-        z = model.apply({"params": params}, img, snr_db, method="encode")
-        z_hat = channel_op(z, snr_db, kind, key, normalize=normalize,
-                           modulation=modulation)
+    def loss_fn(params, img, seg, snr_db, key, krate):
+        if adaptive:
+            # Bandwidth-agile training: per-example random rate m/c_sym
+            # (configs.py CameraCodecConfig). The encoder/decoder see the
+            # rate via FiLM; the channel transmits only the first m
+            # symbol channels (mask-aware power normalization).
+            from multimodal_sc_tpu.channel import rate_mask
+
+            m = jax.random.randint(krate, (img.shape[0],), m_min, c_sym + 1)
+            rkw = {"rate": m.astype(jnp.float32) / c_sym}
+        else:
+            rkw, m = {}, None
+        z = model.apply({"params": params}, img, snr_db, method="encode",
+                        **rkw)
+        mask = (rate_mask(z.shape[0], z.shape[1], c_sym, m)
+                if adaptive else None)
+        z_hat = channel_op(z, snr_db, kind, key, mask=mask, **ch_kw)
         if with_seg:
             recon, seg_logits = model.apply(
-                {"params": params}, z_hat, snr_db, method="decode_seg")
+                {"params": params}, z_hat, snr_db, method="decode_seg",
+                **rkw)
             mse = jnp.mean(jnp.square(recon - img))
             ce = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
                 seg_logits, seg))
             return mse + 0.1 * ce, (recon, seg_logits)
         recon = model.apply({"params": params}, z_hat, snr_db,
-                            method="decode")
+                            method="decode", **rkw)
         return jnp.mean(jnp.square(recon - img)), (recon, None)
 
     def body(state: TrainState, img: Array, seg, key: Array):
         ksnr, kch = jax.random.split(key)
+        # Static stream layout: the rate key only exists for adaptive
+        # configs, so non-adaptive configs keep the exact pre-r3 stream.
+        krate = jax.random.fold_in(key, 0xA7E) if adaptive else kch
         snr_db = _sample_snr(cfg, ksnr, img.shape[0])
         (loss, (recon, seg_logits)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, img, seg, snr_db, kch)
+            loss_fn, has_aux=True)(state.params, img, seg, snr_db, kch,
+                                   krate)
         state = state.apply_gradients(grads=grads)
         metrics = {"loss": loss, "psnr": psnr(recon, img)}
         if with_seg:
@@ -180,13 +203,12 @@ def make_train_step_chunked(cfg: ExperimentConfig, model, chunk: int):
 def make_eval_step(cfg: ExperimentConfig, model):
     """Jitted PSNR eval step at the config's deployed channel mode."""
     kind = cfg.channel.kind
-    normalize = cfg.channel.normalize
-    modulation = cfg.channel.modulation
+    ch_kw = channel_kwargs(cfg.channel)
 
     @functools.partial(jax.jit, static_argnames=("eval_kind",))
     def eval_step(params, img, snr_db, key, eval_kind=kind):
         recon, _ = reconstruct(params, model, img, snr_db, key, eval_kind,
-                               normalize, modulation)
+                               **ch_kw)
         return psnr(recon, img)
 
     return eval_step

@@ -20,6 +20,20 @@ RUNS = [
             "--set", "train.steps=2000", "--set", "train.log_every=200",
             "--set", f"train.checkpoint_dir={OUT}/ckpt_c1",
             "--set", "train.checkpoint_every=1000"]),
+    # r3 bandwidth-agile JSCC: the c1 recipe trained with per-example
+    # random rate masking (camera.adaptive_rate) + its PSNR-vs-rate curve
+    # (codec/camera_cnn.py RateFiLM, channel/layer.py rate_mask).
+    ("c1_rate", ["train", "--config", "c1",
+                 "--set", "camera.adaptive_rate=true",
+                 "--set", "train.steps=3000",
+                 "--set", "train.log_every=300",
+                 "--set", f"train.checkpoint_dir={OUT}/ckpt_c1r",
+                 "--set", "train.checkpoint_every=1500"]),
+    ("c1_rate_sweep", ["eval", "--config", "c1", "--rate-sweep",
+                       "--kinds", "awgn",
+                       "--set", "camera.adaptive_rate=true",
+                       "--set", f"train.checkpoint_dir={OUT}/ckpt_c1r",
+                       "--out", f"{OUT}/c1_rate_curve.json"]),
     ("c2", ["train", "--config", "c2",
             "--set", "train.steps=3000", "--set", "train.log_every=200",
             "--set", f"train.checkpoint_dir={OUT}/ckpt_c2",
@@ -41,6 +55,20 @@ RUNS = [
                           "--set", "channel.modulation=16",
                           "--set", f"train.checkpoint_dir={OUT}/ckpt_c2d",
                           "--out", f"{OUT}/c2d_curves.json"]),
+    # r3 channel realism: same c2 recipe trained and swept over the
+    # frequency-selective OFDM channel with pilot-ESTIMATED CSI (no genie)
+    # — kind="ofdm" + channel.pilots (channel/layer.py).
+    ("c2_ofdm", ["train", "--config", "c2",
+                 "--set", "channel.kind=ofdm", "--set", "channel.pilots=2",
+                 "--set", "train.steps=3000",
+                 "--set", "train.log_every=200",
+                 "--set", f"train.checkpoint_dir={OUT}/ckpt_c2o",
+                 "--set", "train.checkpoint_every=1000"]),
+    ("c2_ofdm_sweep", ["eval", "--config", "c2", "--kinds", "ofdm,awgn",
+                       "--set", "channel.kind=ofdm",
+                       "--set", "channel.pilots=2",
+                       "--set", f"train.checkpoint_dir={OUT}/ckpt_c2o",
+                       "--out", f"{OUT}/c2o_curves.json"]),
     ("c3", ["train", "--config", "c3",
             "--set", "train.steps=2500", "--set", "train.log_every=250",
             "--set", "train.batch_size=32",
@@ -115,9 +143,11 @@ RUNS = [
     # Closed-loop robustness: episode return vs deployed channel SNR
     # (evaluation/policy_sweep.py) — the RL analogue of the c2/c3
     # reconstruction sweeps.
+    # ofdm column (r3 channel realism): the c4 policy deployed over the
+    # frequency-selective channel it never trained on.
     ("c4_snr_sweep", ["eval-policy", "--config", "c4", "--snr-sweep",
                       "--episodes", "256",
-                      "--kinds", "awgn,rayleigh",
+                      "--kinds", "awgn,rayleigh,ofdm",
                       "--set", f"train.checkpoint_dir={OUT}/ckpt_c4",
                       "--out", f"{OUT}/c4_policy_curves.json"]),
     # c5 at the r2-bar budget (150 updates), both eval modes recorded in

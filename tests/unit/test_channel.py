@@ -162,3 +162,151 @@ class TestRician:
         z = _rand_symbols(key, batch=4, k=16)
         y = channel(z, 10.0, "rician", jax.random.key(0))
         assert y.shape == z.shape
+
+
+class TestEstimatedCSI:
+    """Pilot-based LS channel estimation (channel/layer.py docstring):
+    h_hat = h + e with e ~ CN(0, noise_power / pilots) — closed form."""
+
+    def test_many_pilots_recovers_perfect_csi(self, key):
+        z = power_normalize(_rand_symbols(key, batch=32, k=64))
+        perfect = rayleigh(z, 10.0, jax.random.key(5), pilots=0)
+        est = rayleigh(z, 10.0, jax.random.key(5), pilots=10**9)
+        np.testing.assert_allclose(np.asarray(est), np.asarray(perfect),
+                                   atol=2e-3)
+
+    def test_estimation_error_variance(self, key):
+        """var(h_hat - h) == noise_power / pilots per complex coefficient."""
+        from multimodal_sc_tpu.channel.layer import _estimate_csi
+
+        snr_db, pilots = 0.0, 4          # noise_power = 1 -> var = 0.25
+        h = jnp.zeros((200000, 2))
+        h_hat = _estimate_csi(h, jnp.asarray(snr_db), jax.random.key(7),
+                              pilots)
+        var = float(jnp.mean(jnp.sum(jnp.square(h_hat - h), axis=-1)))
+        assert abs(var - 0.25) < 0.01, var
+
+    def test_mse_monotone_in_pilots(self, key):
+        """More pilots -> better equalization -> lower MEDIAN MSE.
+
+        Median, not mean: ZF equalization divides by |h_hat|^2 and
+        E[1/|h|^2] is infinite under Rayleigh, so the mean per-example
+        MSE is heavy-tailed and ungateable at any batch size.
+        """
+        z = power_normalize(_rand_symbols(key, batch=2048, k=128))
+        med = []
+        for pilots in (1, 16, 0):         # 0 == perfect genie, best
+            y = rayleigh(z, 10.0, jax.random.key(9), pilots=pilots)
+            per_ex = jnp.mean(jnp.square(y - z), axis=(1, 2))
+            med.append(float(jnp.median(per_ex)))
+        assert med[0] > med[1] > med[2], med
+
+    def test_rician_pilots_smoke(self, key):
+        from multimodal_sc_tpu.channel import rician
+
+        z = power_normalize(_rand_symbols(key, batch=8, k=32))
+        y = rician(z, 10.0, jax.random.key(1), pilots=2)
+        assert y.shape == z.shape and np.all(np.isfinite(np.asarray(y)))
+
+    def test_dispatch_and_gradient(self, key):
+        z = _rand_symbols(key, batch=4, k=16)
+
+        def loss(z):
+            y = channel(z, 10.0, "rayleigh", jax.random.key(0), pilots=4)
+            return jnp.sum(jnp.square(y))
+
+        g = jax.grad(loss)(z)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestOFDM:
+    """Frequency-selective Rayleigh multipath + per-subcarrier equalization
+    (channel/layer.py ofdm). Analytic gates: unit average subcarrier power,
+    flat response for a single tap, exact inversion at high SNR."""
+
+    def test_pdp_normalized(self):
+        from multimodal_sc_tpu.channel import exp_power_delay_profile
+
+        for taps in (1, 4, 8, 16):
+            p = exp_power_delay_profile(taps)
+            assert abs(float(jnp.sum(p)) - 1.0) < 1e-6
+            if taps > 1:                  # strictly decaying
+                assert np.all(np.diff(np.asarray(p)) < 0)
+
+    def test_subcarrier_power_is_unit(self, key):
+        """E|H_k|^2 = sum_l p_l = 1 for every subcarrier k."""
+        from multimodal_sc_tpu.channel import (
+            exp_power_delay_profile,
+            ofdm_freq_response,
+        )
+
+        taps, n_sub, batch = 8, 32, 100000
+        pdp = exp_power_delay_profile(taps)
+        h = jax.random.normal(jax.random.key(3), (batch, taps, 2))
+        h = h * jnp.sqrt(pdp / 2.0)[None, :, None]
+        H = ofdm_freq_response(h, n_sub)
+        pw = jnp.mean(jnp.sum(jnp.square(H), axis=-1), axis=0)   # (N,)
+        np.testing.assert_allclose(np.asarray(pw), 1.0, atol=0.03)
+
+    def test_single_tap_response_is_flat(self, key):
+        from multimodal_sc_tpu.channel import ofdm_freq_response
+
+        h = jax.random.normal(jax.random.key(4), (16, 1, 2))
+        H = ofdm_freq_response(h, 64)
+        mag = np.asarray(jnp.sum(jnp.square(H), axis=-1))        # (16, 64)
+        np.testing.assert_allclose(
+            mag, np.broadcast_to(mag[:, :1], mag.shape), rtol=1e-5)
+
+    def test_equalization_exact_at_high_snr(self, key):
+        from multimodal_sc_tpu.channel import ofdm
+
+        z = power_normalize(_rand_symbols(key, batch=32, k=256))
+        y = ofdm(z, 200.0, jax.random.key(6))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(z), atol=1e-3)
+
+    def test_pilots_monotone(self, key):
+        """Median per-example MSE (see TestEstimatedCSI for why median)."""
+        from multimodal_sc_tpu.channel import ofdm
+
+        z = power_normalize(_rand_symbols(key, batch=2048, k=256))
+        med = []
+        for pilots in (1, 16, 0):
+            y = ofdm(z, 10.0, jax.random.key(8), pilots=pilots)
+            per_ex = jnp.mean(jnp.square(y - z), axis=(1, 2))
+            med.append(float(jnp.median(per_ex)))
+        assert med[0] > med[1] > med[2], med
+
+    def test_per_example_snr_vector(self, key):
+        from multimodal_sc_tpu.channel import ofdm
+
+        z = power_normalize(_rand_symbols(key, batch=8, k=64))
+        snr = jnp.linspace(-5.0, 25.0, 8)
+        y = ofdm(z, snr, jax.random.key(2))
+        assert y.shape == z.shape and np.all(np.isfinite(np.asarray(y)))
+
+    def test_dispatch_and_gradient(self, key):
+        def loss(z):
+            y = channel(z, 10.0, "ofdm", jax.random.key(0),
+                        subcarriers=16, taps=4)
+            return jnp.sum(jnp.square(y))
+
+        z = _rand_symbols(jax.random.key(12), batch=4, k=32)
+        g = jax.grad(loss)(z)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_deterministic_under_key(self, key):
+        from multimodal_sc_tpu.channel import ofdm
+
+        z = _rand_symbols(jax.random.key(13), batch=4, k=32)
+        y1 = ofdm(z, 10.0, jax.random.key(21))
+        y2 = ofdm(z, 10.0, jax.random.key(21))
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    def test_config_validation(self):
+        from multimodal_sc_tpu.config.configs import ChannelConfig
+
+        ChannelConfig(kind="ofdm", pilots=2)            # valid
+        with pytest.raises(ValueError):
+            ChannelConfig(kind="ofdm", ofdm_taps=0)
+        with pytest.raises(ValueError):
+            ChannelConfig(pilots=-1)
