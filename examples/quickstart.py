@@ -29,6 +29,14 @@ def main():
     print("16-QAM symbols hit", len(jnp.unique(z_digital.round(3))),
           "distinct levels after noise")
 
+    # Channel realism: frequency-selective OFDM multipath with a
+    # pilot-ESTIMATED channel at the equalizer (no genie CSI).
+    z_ofdm = msc.channel(z, 10.0, "ofdm", key, pilots=2)
+    print("OFDM + 2-pilot LS-estimated CSI:", z_ofdm.shape)
+    # (Bandwidth-agile codecs: train with camera.adaptive_rate=true, then
+    #  deploy at any rate via api.reconstruct(..., rate_sym=m) or
+    #  `cli eval --rate-sweep`.)
+
     # --- 2. One composed call (stays one jitted graph under jit) ---
     from multimodal_sc_tpu.evaluation import psnr
 

@@ -49,15 +49,37 @@ def _restore_params_latest(cfg, fresh_params, field="params"):
     return restored
 
 
+def _untrained_fallback(cfg, fresh, allow_untrained):
+    """No checkpoint found at eval/export time: hard error by default.
+
+    The silent fallback burned a whole eval batch in r3 — deleted
+    checkpoint dirs made 256-episode evals + a 21-point policy sweep
+    quietly measure UNTRAINED params with rc 0 (flat 3.89 curves in
+    results_r3/baselines.json before the re-run). Opt back into the old
+    behavior with --allow-untrained (useful for pipeline smoke tests).
+    """
+    if allow_untrained:
+        print("warning: no checkpoint found "
+              f"(train.checkpoint_dir={cfg.train.checkpoint_dir!r}) — "
+              "using UNTRAINED init params (--allow-untrained)",
+              file=sys.stderr)
+        return fresh
+    raise SystemExit(
+        "error: no checkpoint found at "
+        f"train.checkpoint_dir={cfg.train.checkpoint_dir!r}; evaluating "
+        "untrained params is almost never intended — train first, fix "
+        "the path, or pass --allow-untrained to evaluate a fresh init")
+
+
 def _select_dqn_deploy_params(cfg, key, use_target=False, use_ema=False,
-                              use_best=False):
+                              use_best=False, allow_untrained=False):
     """Resolve which tree of a DQN checkpoint deploys (shared by
     `eval-policy` and `export`): the online params by default,
     `--use-target` the TD target network, `--use-ema` the Polyak-averaged
     deployment policy (rl.ema_tau — the measured-best cold-c4 deployment,
     results_r3/collapse_investigation.md), `--use-best` the best-measured-
-    return snapshot (rl.eval_snapshot_every). Falls back to fresh init
-    params (with a warning) when no checkpoint exists."""
+    return snapshot (rl.eval_snapshot_every). A missing checkpoint is a
+    hard error unless allow_untrained (_untrained_fallback)."""
     from multimodal_sc_tpu.rl import dqn as dqn_lib
 
     field = "params"
@@ -94,21 +116,18 @@ def _select_dqn_deploy_params(cfg, key, use_target=False, use_ema=False,
     fresh = dqn_lib.init_params(cfg, key)
     restored = _restore_params_latest(cfg, fresh, field=field)
     if restored is None:
-        print("warning: no checkpoint found "
-              f"(train.checkpoint_dir={cfg.train.checkpoint_dir!r}) — "
-              "using UNTRAINED init params", file=sys.stderr)
-        return fresh
+        return _untrained_fallback(cfg, fresh, allow_untrained)
     return restored
 
 
 def _select_ppo_deploy_params(cfg, key, use_target=False, use_ema=False,
-                              use_best=False):
+                              use_best=False, allow_untrained=False):
     """Resolve which tree of a PPO checkpoint deploys (shared by
     `eval-policy` and `export`): the online params by default, `--use-ema`
     the Polyak-averaged deployment policy (rl.ema_tau, one lerp per
     update). --use-target/--use-best are DQN-only (PPO keeps no target
-    net and no best-snapshot driver hook) and warn+ignore. Falls back to
-    fresh init params (with a warning) when no checkpoint exists."""
+    net and no best-snapshot driver hook) and warn+ignore. A missing
+    checkpoint is a hard error unless allow_untrained."""
     from multimodal_sc_tpu.rl import ppo as ppo_lib
 
     if use_target:
@@ -128,10 +147,7 @@ def _select_ppo_deploy_params(cfg, key, use_target=False, use_ema=False,
     fresh = ppo_lib.init_params(cfg, key)
     restored = _restore_params_latest(cfg, fresh, field=field)
     if restored is None:
-        print("warning: no checkpoint found "
-              f"(train.checkpoint_dir={cfg.train.checkpoint_dir!r}) — "
-              "using UNTRAINED init params", file=sys.stderr)
-        return fresh
+        return _untrained_fallback(cfg, fresh, allow_untrained)
     return restored
 
 
@@ -198,6 +214,11 @@ def main(argv=None) -> int:
                          "param-trajectory mean out-evaled every endpoint "
                          "snapshot in the r3 recipe study "
                          "(results_r3/collapse_investigation.md)")
+    pe.add_argument("--allow-untrained", action="store_true",
+                    dest="allow_untrained",
+                    help="permit evaluating UNTRAINED init params when no "
+                         "checkpoint exists (default: hard error — the "
+                         "silent fallback records garbage curves)")
     pe.add_argument("--snr-sweep", action="store_true", dest="snr_sweep",
                     help="sweep episode return across deployed channel "
                          "SNR x kind (the closed-loop analogue of `eval`'s "
@@ -285,7 +306,8 @@ def main(argv=None) -> int:
                       "always greedy (epsilon=0)", file=sys.stderr)
             params = _select_dqn_deploy_params(
                 cfg, key, use_target=args.use_target, use_ema=args.use_ema,
-                use_best=args.use_best)
+                use_best=args.use_best,
+                allow_untrained=getattr(args, "allow_untrained", False))
             if args.snr_sweep:
                 return _policy_sweep_and_print(cfg, params, key, args,
                                                epsilon=args.eps)
@@ -295,7 +317,8 @@ def main(argv=None) -> int:
         else:
             params = _select_ppo_deploy_params(
                 cfg, key, use_target=args.use_target, use_ema=args.use_ema,
-                use_best=args.use_best)
+                use_best=args.use_best,
+                allow_untrained=getattr(args, "allow_untrained", False))
             if args.snr_sweep:
                 return _policy_sweep_and_print(cfg, params, key, args,
                                                sample=args.sample)
@@ -349,7 +372,8 @@ def main(argv=None) -> int:
         elif task == "dqn":
             params = _select_dqn_deploy_params(
                 cfg, key, use_target=args.use_target, use_ema=args.use_ema,
-                use_best=args.use_best)
+                use_best=args.use_best,
+                allow_untrained=getattr(args, "allow_untrained", False))
             parts = {"policy": export_lib.export_policy(
                 cfg, params, batch=args.batch)}
         elif task == "ppo":

@@ -168,14 +168,28 @@ def init(cfg: ExperimentConfig, key: Array, num_envs: int) -> DQNState:
 
 
 def act(cfg: ExperimentConfig, params, image, points, mask, key,
-        epsilon: Array = 0.0) -> Array:
-    """Eps-greedy action for a batch of observations (public API verb)."""
+        epsilon: Array = 0.0, snr_db=None) -> Array:
+    """Eps-greedy action for a batch of observations (public API verb).
+
+    ``snr_db`` (optional (B,)): per-env deployed channel SNR — defaults
+    to the config constant inside the trunk."""
     k_net, k_eps, k_rand = jax.random.split(key, 3)
-    q = QNetwork(cfg).apply({"params": params}, image, points, mask, k_net)
+    q = QNetwork(cfg).apply({"params": params}, image, points, mask, k_net,
+                            snr_db=snr_db)
     greedy = jnp.argmax(q, axis=-1)
     rand = jax.random.randint(k_rand, greedy.shape, 0, cfg.rl.num_actions)
     explore = jax.random.uniform(k_eps, greedy.shape) < epsilon
     return jnp.where(explore, rand, greedy).astype(jnp.int32)
+
+
+def _sample_snr(cfg: ExperimentConfig, key: Array, batch: int):
+    """Per-example deployed-SNR draw for channel.random_snr training;
+    None (-> config constant inside the trunk) when the flag is off."""
+    if not cfg.channel.random_snr:
+        return None
+    return jax.random.uniform(
+        key, (batch,), minval=cfg.channel.snr_min_db,
+        maxval=cfg.channel.snr_max_db)
 
 
 def _td_loss(params, target_params, batch: Transition, key: Array,
@@ -190,14 +204,23 @@ def _td_loss(params, target_params, batch: Transition, key: Array,
         cfg = cfg.override(mha_block_kernel=False)
     net = QNetwork(cfg)
     k1, k2, k3 = jax.random.split(key, 3)
-    q = net.apply({"params": params}, batch.image, batch.points, batch.mask, k1)
+    # channel.random_snr: re-draw the deployed SNR per sampled batch (one
+    # vector shared by the online/target/double forwards so all three see
+    # the same link conditions). The replayed transmission is re-simulated
+    # with fresh noise anyway; under random-SNR training the Q-function is
+    # optimized in expectation over the SNR range.
+    snr = _sample_snr(cfg, jax.random.fold_in(key, 0x57A2),
+                      batch.image.shape[0])
+    q = net.apply({"params": params}, batch.image, batch.points, batch.mask,
+                  k1, snr_db=snr)
     q_taken = jnp.take_along_axis(q, batch.action[:, None], axis=-1)[:, 0]
 
     q_next_t = net.apply({"params": target_params}, batch.next_image,
-                         batch.next_points, batch.next_mask, k2)
+                         batch.next_points, batch.next_mask, k2, snr_db=snr)
     if cfg.rl.double_dqn:
         q_next_o = net.apply({"params": params}, batch.next_image,
-                             batch.next_points, batch.next_mask, k3)
+                             batch.next_points, batch.next_mask, k3,
+                             snr_db=snr)
         a_star = jnp.argmax(q_next_o, axis=-1)
     else:
         a_star = jnp.argmax(q_next_t, axis=-1)
@@ -298,7 +321,13 @@ def make_iteration(cfg: ExperimentConfig, learn: bool = True,
             img, pts, mask = driving.observe_batch(cfg.env, state.env_states)
             img_store = quantize_image(cfg, img)
         eps = _epsilon(cfg, state.step)
-        actions = act(cfg, state.params, img, pts, mask, k_act, eps)
+        # Per-env deployed SNR (channel.random_snr) — folded off k_act so
+        # the existing 4-way key split (and the sharded twin's mirror of
+        # it) is untouched when the flag is off.
+        snr = _sample_snr(cfg, jax.random.fold_in(k_act, 0x57A2),
+                          img.shape[0])
+        actions = act(cfg, state.params, img, pts, mask, k_act, eps,
+                      snr_db=snr)
         env_states, ts = driving.step_batch(cfg.env, state.env_states, actions)
 
         ep_return = state.ep_return + ts.reward

@@ -28,7 +28,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from multimodal_sc_tpu.config.configs import ExperimentConfig
 from multimodal_sc_tpu.envs import driving
 from multimodal_sc_tpu.rl import nstep, replay
-from multimodal_sc_tpu.rl.dqn import (Transition, _epsilon, _td_loss,
+from multimodal_sc_tpu.rl.dqn import (Transition, _epsilon, _sample_snr,
+                                      _td_loss,
                                       act, dequantize_image, dequantize_obs,
                                       quantize_image, quantize_obs)
 from multimodal_sc_tpu.rl.dqn import make_optimizer
@@ -147,7 +148,11 @@ def make_iteration(cfg: ExperimentConfig, mesh, chunk: int = 1):
         img_store, pts, mask = obs_image, obs_points, obs_mask
         img = dequantize_image(img_store)
         eps = _epsilon(cfg, step)
-        actions = act(cfg, params, img, pts, mask, k_act, eps)
+        # Mirror of rl/dqn.py's per-env SNR draw (channel.random_snr);
+        # same fold constant keeps the 1-shard bit-equivalence exact.
+        snr = _sample_snr(cfg, jax.random.fold_in(k_act, 0x57A2),
+                          img.shape[0])
+        actions = act(cfg, params, img, pts, mask, k_act, eps, snr_db=snr)
         env_states, ts = driving.step_batch(cfg.env, env_states, actions)
 
         ep_return = ep_return + ts.reward

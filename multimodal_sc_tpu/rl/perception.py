@@ -95,11 +95,20 @@ class SemanticPerception(nn.Module):
             mask = jnp.zeros_like(mask)
         k_cam, k_lid = jax.random.split(key)
 
+        # Channel-aware policy (r3): with camera.snr_conditioning the
+        # camera branch FiLM-modulates on the current SNR (the receiver
+        # knows its channel quality), so a policy trained under
+        # channel.random_snr can adapt behavior to link conditions.
+        # CNN arch only (the RL ViT branch is built unconditioned).
+        cond = (self.cfg.camera.snr_conditioning
+                and self.cfg.camera.arch == "cnn")
+        snr_in = snr_db if cond else None
+
         # Camera branch: encode -> channel -> token decode.
-        z_cam = self.cam_enc(image, None)
+        z_cam = self.cam_enc(image, snr_in)
         z_cam_hat = channel_op(z_cam, snr_db, ch.kind, k_cam,
                                **channel_kwargs(ch))
-        cam_tokens = self.cam_tok(z_cam_hat, None)
+        cam_tokens = self.cam_tok(z_cam_hat, snr_in)
 
         # LiDAR branch: pillars -> BEV -> symbols -> channel -> tokens.
         lid = self.cfg.lidar

@@ -50,6 +50,10 @@ class Rollout(NamedTuple):
     value: Array           # (T, B)
     reward: Array          # (T, B)
     done: Array            # (T, B)
+    snr_db: Array          # (T, B) deployed SNR each transition was acted
+    # under (channel.random_snr draws; the config constant otherwise) —
+    # the loss re-forwards under the SAME link conditions (fresh noise,
+    # same SNR: the SNR is an environment condition, not noise).
 
 
 def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
@@ -88,15 +92,29 @@ def init(cfg: ExperimentConfig, key: Array) -> PPOState:
                     last_return=jnp.copy(zeros))
 
 
-def act(cfg: ExperimentConfig, params, image, points, mask, key):
-    """Sample (action, logp, value) — public API verb for PPO."""
+def act(cfg: ExperimentConfig, params, image, points, mask, key,
+        snr_db=None):
+    """Sample (action, logp, value) — public API verb for PPO.
+
+    ``snr_db`` (optional (B,)): per-env deployed channel SNR — defaults
+    to the config constant inside the trunk."""
     k_net, k_smp = jax.random.split(key)
     logits, value = ActorCritic(cfg).apply(
-        {"params": params}, image, points, mask, k_net)
+        {"params": params}, image, points, mask, k_net, snr_db=snr_db)
     action = jax.random.categorical(k_smp, logits)
     logp = jax.nn.log_softmax(logits)[
         jnp.arange(logits.shape[0]), action]
     return action.astype(jnp.int32), logp, value
+
+
+def _sample_snr(cfg: ExperimentConfig, key: Array, batch: int) -> Array:
+    """Per-env deployed-SNR vector: uniform in [snr_min_db, snr_max_db]
+    under channel.random_snr, else the config constant."""
+    if not cfg.channel.random_snr:
+        return jnp.full((batch,), cfg.channel.snr_db, jnp.float32)
+    return jax.random.uniform(
+        key, (batch,), minval=cfg.channel.snr_min_db,
+        maxval=cfg.channel.snr_max_db)
 
 
 def _collect_rollout(cfg: ExperimentConfig, params, env_states, ep_return,
@@ -105,7 +123,12 @@ def _collect_rollout(cfg: ExperimentConfig, params, env_states, ep_return,
         env_states, ep_ret, last_ret, key = carry
         key, k_act, = jax.random.split(key)
         img, pts, mask = driving.observe_batch(cfg.env, env_states)
-        action, logp, value = act(cfg, params, img, pts, mask, k_act)
+        # Per-env deployed SNR (channel.random_snr) — folded off k_act so
+        # the key stream is untouched when the flag is off.
+        snr = _sample_snr(cfg, jax.random.fold_in(k_act, 0x57A2),
+                          img.shape[0])
+        action, logp, value = act(cfg, params, img, pts, mask, k_act,
+                                  snr_db=snr)
         env_states, ts = driving.step_batch(cfg.env, env_states, action)
         ep_ret = ep_ret + ts.reward
         last_ret = jnp.where(ts.done, ep_ret, last_ret)
@@ -115,7 +138,8 @@ def _collect_rollout(cfg: ExperimentConfig, params, env_states, ep_return,
         # bytes; acting above used the full-precision render.
         store = quantize_frame(img) if cfg.rl.rollout_quantize else img
         out = Rollout(image=store, points=pts, mask=mask, action=action,
-                      logp=logp, value=value, reward=ts.reward, done=ts.done)
+                      logp=logp, value=value, reward=ts.reward, done=ts.done,
+                      snr_db=snr)
         return (env_states, ep_ret, last_ret, key), out
 
     (env_states, ep_return, last_return, key), rollout = jax.lax.scan(
@@ -132,7 +156,7 @@ def _ppo_loss(params, batch, cfg: ExperimentConfig, key: Array,
         cfg = cfg.override(mha_block_kernel=False)
     logits, value = ActorCritic(cfg).apply(
         {"params": params}, dequantize_frame(batch["image"]),
-        batch["points"], batch["mask"], key)
+        batch["points"], batch["mask"], key, snr_db=batch["snr"])
     logp_all = jax.nn.log_softmax(logits)
     logp = jnp.take_along_axis(logp_all, batch["action"][:, None],
                                axis=-1)[:, 0]
@@ -219,9 +243,13 @@ def _update_body(cfg: ExperimentConfig):
             cfg, state.params, state.env_states, state.ep_return,
             state.last_return, k_roll)
 
-        # Bootstrap value of the final state.
+        # Bootstrap value of the final state (fresh SNR draw under
+        # channel.random_snr, like any other transition).
         img, pts, mask = driving.observe_batch(cfg.env, env_states)
-        _, _, last_value = act(cfg, state.params, img, pts, mask, k_last)
+        snr_last = _sample_snr(cfg, jax.random.fold_in(k_last, 0x57A2),
+                               img.shape[0])
+        _, _, last_value = act(cfg, state.params, img, pts, mask, k_last,
+                               snr_db=snr_last)
 
         adv, ret = gae(ro.reward, ro.value, ro.done, last_value,
                        cfg.rl.gamma, cfg.rl.gae_lambda)
@@ -234,6 +262,7 @@ def _update_body(cfg: ExperimentConfig):
             "logp": ro.logp.reshape(T * B),
             "adv": adv.reshape(T * B),
             "ret": ret.reshape(T * B),
+            "snr": ro.snr_db.reshape(T * B),
         }
 
         def epoch_fn(carry, k_epoch):

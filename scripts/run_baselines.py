@@ -150,6 +150,39 @@ RUNS = [
                       "--kinds", "awgn,rayleigh,ofdm",
                       "--set", f"train.checkpoint_dir={OUT}/ckpt_c4",
                       "--out", f"{OUT}/c4_policy_curves.json"]),
+    # Same sweep for the DEPLOYED (EMA) policy — the apples-to-apples
+    # base curve for the c4_robust comparison below.
+    ("c4_snr_sweep_ema", ["eval-policy", "--config", "c4", "--snr-sweep",
+                          "--episodes", "256", "--use-ema",
+                          "--kinds", "awgn,rayleigh,ofdm",
+                          "--set", f"train.checkpoint_dir={OUT}/ckpt_c4",
+                          "--out", f"{OUT}/c4_policy_curves_ema.json"]),
+    # r3 robustness arm: same c4 budget trained under randomized SNR
+    # (channel.random_snr, per-env draws in [-5, 25] dB) with a
+    # channel-aware trunk (camera.snr_conditioning FiLMs on the SNR the
+    # receiver observes). The sweep comparison against the fixed-SNR c4
+    # policy is the deliverable: flat-vs-cliff return-vs-SNR curves.
+    ("c4_robust", ["train", "--config", "c4",
+                   "--set", "channel.random_snr=true",
+                   "--set", "camera.snr_conditioning=true",
+                   "--set", "train.steps=5000",
+                   "--set", "train.log_every=500",
+                   "--set", f"train.checkpoint_dir={OUT}/ckpt_c4rb",
+                   "--set", "train.checkpoint_every=5000"]),
+    ("c4_robust_eval_ema", ["eval-policy", "--config", "c4",
+                            "--episodes", "256", "--use-ema",
+                            "--set", "channel.random_snr=true",
+                            "--set", "camera.snr_conditioning=true",
+                            "--set",
+                            f"train.checkpoint_dir={OUT}/ckpt_c4rb"]),
+    ("c4_robust_snr_sweep", ["eval-policy", "--config", "c4", "--snr-sweep",
+                             "--episodes", "256", "--use-ema",
+                             "--kinds", "awgn,rayleigh,ofdm",
+                             "--set", "channel.random_snr=true",
+                             "--set", "camera.snr_conditioning=true",
+                             "--set",
+                             f"train.checkpoint_dir={OUT}/ckpt_c4rb",
+                             "--out", f"{OUT}/c4_robust_policy_curves.json"]),
     # c5 at the r2-bar budget (150 updates), both eval modes recorded in
     # ONE artifact (VERDICT r2 item 4 — the r2 json only held the 60-update
     # run and an rc-1 eval).

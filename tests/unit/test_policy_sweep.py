@@ -64,7 +64,15 @@ def test_cli_eval_policy_snr_sweep(tmp_path, capsys):
     args = []
     for o in TINY:
         args += ["--set", o]
+    # No checkpoint here: a missing checkpoint is a HARD error by default
+    # (r3 — the silent untrained fallback recorded garbage 256-episode
+    # curves in the baselines artifact); this wiring test opts out.
+    with pytest.raises(SystemExit, match="no checkpoint"):
+        cli.main(["eval-policy", "--config", "c4", "--snr-sweep",
+                  "--episodes", "4", "--kinds", "ideal",
+                  "--snrs", "0,10", "--out", out, *args])
     rc = cli.main(["eval-policy", "--config", "c4", "--snr-sweep",
+                   "--allow-untrained",
                    "--episodes", "4", "--kinds", "ideal",
                    "--snrs", "0,10", "--out", out, *args])
     assert rc == 0
