@@ -479,6 +479,17 @@ def main(argv=None) -> int:
             seg = jax.numpy.asarray(seg)
         else:
             images, seg = next(data), None
+        if cfg.camera.arch == "vq":
+            # Discrete-token codec: digital channel inside the model —
+            # its own sweep (PSNR/SSIM + index error rate per kind).
+            curves = snr_sweep.sweep_camera_vq(
+                cfg, state.params, jax.numpy.asarray(images), key,
+                kinds=tuple(k.strip() for k in args.kinds.split(",")))
+            print(snr_sweep.format_table(curves))
+            print(snr_sweep.format_table(curves, metric="index_err"))
+            if args.out:
+                snr_sweep.save_curves(curves, args.out)
+            return 0
         if getattr(args, "rate_sweep", False):
             if not cfg.camera.adaptive_rate:
                 print("--rate-sweep requires camera.adaptive_rate=true",

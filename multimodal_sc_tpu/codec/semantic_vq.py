@@ -1,0 +1,228 @@
+"""Discrete semantic-token camera codec: VQ bottleneck + digital channel.
+
+The third camera model family (after CNN-JSCC and ViT-JSCC,
+BASELINE.json:5): instead of continuous channel symbols, the encoder
+quantizes each spatial cell against a learned codebook (VQ-VAE style —
+straight-through estimator, codebook + commitment losses) and transmits
+the INTEGER indices as bits over QPSK (channel/digital.py). This is the
+"semantic tokens over a digital radio" deployment mode: discrete,
+arbitrarily channel-codable payloads, with the classic digital
+behavior — near-lossless above the waterfall SNR, a cliff below it —
+complementing analog deep-JSCC's graceful degradation.
+
+Noise-aware training: the decoder forward sees the RECEIVED (possibly
+corrupted) codes while gradients flow through the clean straight-through
+path, so the decoder learns robustness to index errors without needing
+a differentiable channel.
+
+TPU-first notes: the nearest-code search is one (B*N, K) matmul distance
+(MXU-friendly); bits/QPSK mapping is elementwise; all shapes static.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_sc_tpu.channel import channel as channel_op
+from multimodal_sc_tpu.channel import channel_kwargs
+from multimodal_sc_tpu.channel.digital import (
+    index_bits,
+    indices_to_qpsk,
+    qpsk_to_indices,
+)
+from multimodal_sc_tpu.codec.camera_cnn import PReLU
+from multimodal_sc_tpu.config.configs import ExperimentConfig
+from multimodal_sc_tpu.kernels.conv_block import FusedConvPReLU
+
+Array = jax.Array
+
+
+def vector_quantize(z_e: Array, codebook: Array, beta: float = 0.25):
+    """Nearest-code quantization with STE + codebook/commitment losses.
+
+    z_e (..., D), codebook (K, D) -> (z_ste, indices int32, vq_loss).
+    The distance search is one (B*N, K) matmul — MXU-friendly.
+    """
+    dim = codebook.shape[1]
+    flat = z_e.reshape(-1, dim)
+    d2 = (jnp.sum(flat * flat, axis=1, keepdims=True)
+          - 2.0 * flat @ codebook.T
+          + jnp.sum(codebook * codebook, axis=1)[None, :])   # (BN, K)
+    idx = jnp.argmin(d2, axis=1)
+    z_q = codebook[idx].reshape(z_e.shape)
+    idx = idx.reshape(z_e.shape[:-1]).astype(jnp.int32)
+    codebook_loss = jnp.mean(jnp.square(jax.lax.stop_gradient(z_e) - z_q))
+    commit_loss = jnp.mean(jnp.square(z_e - jax.lax.stop_gradient(z_q)))
+    vq_loss = codebook_loss + beta * commit_loss
+    z_ste = z_e + jax.lax.stop_gradient(z_q - z_e)
+    return z_ste, idx, vq_loss
+
+
+class VectorQuantizer(nn.Module):
+    """Module wrapper owning the codebook param (standalone reuse)."""
+
+    codes: int
+    dim: int
+    beta: float = 0.25
+
+    @nn.compact
+    def __call__(self, z_e: Array):
+        cb = self.param(
+            "codebook",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (self.codes, self.dim))
+        return vector_quantize(z_e, cb, self.beta)
+
+
+class VQCameraJSCC(nn.Module):
+    """Camera -> semantic tokens -> QPSK digital channel -> reconstruction.
+
+    cfg.camera fields: features (conv trunk), vq_codes (codebook size,
+    power of 4), vq_dim (code dimension), vq_beta (commitment weight).
+    The channel ride (indices -> QPSK -> cfg.channel -> hard decision)
+    happens inside __call__ like the RL perception trunk, so train/eval
+    stay one jitted graph.
+    """
+
+    cfg: ExperimentConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cam = self.cfg.camera
+        index_bits(cam.vq_codes)   # validate at construction
+        feats = cam.features
+        strides = (2, 2, 1, 1)
+        self.enc_blocks = [
+            FusedConvPReLU(f, 5, stride=s, use_pallas=self.cfg.use_pallas,
+                           dtype=self.dtype, name=f"enc{i}")
+            for i, (f, s) in enumerate(zip(feats, strides))]
+        self.to_code = nn.Conv(cam.vq_dim, (1, 1), dtype=self.dtype,
+                               name="to_code")
+        self.codebook = self.param(
+            "codebook",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (cam.vq_codes, cam.vq_dim))
+        self.from_code = FusedConvPReLU(
+            feats[-1], 5, use_pallas=self.cfg.use_pallas, dtype=self.dtype,
+            name="from_code")
+        dec_feats = tuple(reversed(feats))
+        dec_strides = (1, 1, 2, 2)
+        blocks = []
+        for i, (f, s) in enumerate(zip(dec_feats, dec_strides)):
+            if s == 1:
+                blocks.append(FusedConvPReLU(
+                    f, 5, use_pallas=self.cfg.use_pallas, dtype=self.dtype,
+                    name=f"dec{i}"))
+            else:
+                blocks.append((nn.ConvTranspose(
+                    f, (5, 5), strides=(s, s), padding="SAME",
+                    dtype=self.dtype, name=f"deconv{i}"),
+                    PReLU(name=f"deprelu{i}")))
+        self.dec_blocks = blocks
+        self.conv_out = FusedConvPReLU(
+            3, 5, with_prelu=False, use_pallas=self.cfg.use_pallas,
+            dtype=self.dtype, name="conv_out")
+
+    # --- encode / decode halves (deployment split) ---
+
+    def encode_features(self, img: Array) -> Array:
+        """Image -> pre-quantization features (B, h, w, D). Used by
+        :func:`init_codebook_from_batch` for data-dependent codebook
+        seeding (and as the first half of :meth:`encode_tokens`)."""
+        x = img.astype(self.dtype)
+        for blk in self.enc_blocks:
+            x = blk(x)
+        return self.to_code(x).astype(jnp.float32)
+
+    def encode_tokens(self, img: Array):
+        """Image -> (indices (B, N) int32, vq_loss, z_ste (B, N, D)).
+        The transmitter; indices are the over-the-air payload."""
+        z_e = self.encode_features(img)                    # (B, h, w, D)
+        z_ste, idx, vq_loss = vector_quantize(
+            z_e, self.codebook, self.cfg.camera.vq_beta)
+        b, h, w, _ = z_e.shape
+        return (idx.reshape(b, h * w), vq_loss,
+                z_ste.reshape(b, h * w, self.cfg.camera.vq_dim))
+
+    def codes_to_image(self, z: Array) -> Array:
+        """(B, N, D) code vectors -> reconstructed image. The receiver."""
+        cam = self.cfg.camera
+        h, w = cam.image_hw[0] // 4, cam.image_hw[1] // 4
+        x = z.reshape(z.shape[0], h, w, cam.vq_dim).astype(self.dtype)
+        x = self.from_code(x)
+        for blk in self.dec_blocks:
+            if isinstance(blk, tuple):
+                deconv, prelu = blk
+                x = prelu(deconv(x))
+            else:
+                x = blk(x)
+        return nn.sigmoid(self.conv_out(x).astype(jnp.float32))
+
+    def decode_tokens(self, idx: Array) -> Array:
+        """(B, N) received indices -> image (pure receiver path)."""
+        return self.codes_to_image(self.codebook[idx])
+
+    # --- full pipeline (training / eval graph) ---
+
+    def __call__(self, img: Array, snr_db, key: Array):
+        """(recon, aux): the whole TX->channel->RX pipeline, one graph.
+
+        aux: vq_loss, index_error_rate. Noise-aware: the decoder forward
+        uses the received codes; gradients take the clean STE path.
+        """
+        cfg = self.cfg
+        idx_tx, vq_loss, z_ste = self.encode_tokens(img)
+        sym = indices_to_qpsk(idx_tx, cfg.camera.vq_codes)
+        ch_kw = channel_kwargs(cfg.channel)
+        ch_kw["normalize"] = False            # QPSK is exactly unit power
+        ch_kw["modulation"] = 0               # mapping already digital
+        y = channel_op(sym, snr_db, cfg.channel.kind, key, **ch_kw)
+        idx_rx = qpsk_to_indices(y, cfg.camera.vq_codes, idx_tx.shape[1])
+        idx_err = jnp.mean((idx_rx != idx_tx).astype(jnp.float32))
+        # Received codes on the forward path, clean STE on the backward.
+        z_rx = z_ste + jax.lax.stop_gradient(self.codebook[idx_rx] - z_ste)
+        recon = self.codes_to_image(z_rx)
+        # Codebook-usage perplexity (exp entropy of the index histogram):
+        # ~1 means collapse, ~codes means uniform usage. The collapse
+        # diagnostic for the degenerate optimum fixed by
+        # init_codebook_from_batch.
+        p = jnp.mean(jax.nn.one_hot(idx_tx, cfg.camera.vq_codes), axis=(0, 1))
+        perplexity = jnp.exp(-jnp.sum(p * jnp.log(p + 1e-10)))
+        return recon, {"vq_loss": vq_loss, "index_error_rate": idx_err,
+                       "code_perplexity": perplexity}
+
+    @property
+    def n_tokens(self) -> int:
+        h, w = self.cfg.camera.image_hw
+        return (h // 4) * (w // 4)
+
+    @property
+    def bits_per_image(self) -> int:
+        return self.n_tokens * index_bits(self.cfg.camera.vq_codes)
+
+
+def init_codebook_from_batch(model: VQCameraJSCC, params, img: Array,
+                             key: Array):
+    """Data-dependent codebook seeding: replace the codebook rows with a
+    random sample of actual encoder outputs on a real batch (+ small
+    jitter so duplicated rows still separate).
+
+    Fixes the classic VQ degenerate optimum observed with the default
+    small-uniform init: every code sits in one tight near-zero cluster, so
+    codes are interchangeable, the decoder learns a code-INDEPENDENT mean
+    image, and channel index errors stop mattering (measured: 88% index
+    errors at -5 dB moved PSNR by 0.0001 dB). Seeding from the encoder's
+    own output distribution makes codes informative from step 0.
+    Called by the train driver only on a fresh run (never on resume).
+    """
+    z = model.apply({"params": params}, img, method="encode_features")
+    flat = z.reshape(-1, z.shape[-1])
+    k = params["codebook"].shape[0]
+    rows = jax.random.choice(key, flat, (k,), replace=flat.shape[0] < k)
+    rows = rows + 0.01 * jax.random.normal(
+        jax.random.fold_in(key, 1), rows.shape)
+    new = dict(params)
+    new["codebook"] = rows
+    return new

@@ -64,7 +64,7 @@ class ChannelConfig:
 
 @dataclass(frozen=True)
 class CameraCodecConfig:
-    arch: str = "cnn"             # cnn | vit
+    arch: str = "cnn"             # cnn | vit | vq (discrete semantic tokens)
     image_hw: Tuple[int, int] = (32, 32)
     features: Tuple[int, ...] = (32, 64, 128, 128)
     c_sym: int = 8
@@ -80,6 +80,11 @@ class CameraCodecConfig:
     dim: int = 128
     depth: int = 4
     heads: int = 4
+    # arch="vq" (codec/semantic_vq.py): discrete semantic tokens over a
+    # QPSK digital channel. vq_codes must be a power of 4.
+    vq_codes: int = 256
+    vq_dim: int = 64
+    vq_beta: float = 0.25
 
     def __post_init__(self):
         if not 1 <= self.rate_min_sym <= self.c_sym:

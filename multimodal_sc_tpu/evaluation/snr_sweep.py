@@ -151,6 +151,49 @@ def sweep_camera_rate(
     return curve
 
 
+def sweep_camera_vq(
+    cfg, params, images: Array, key: Array,
+    snrs_db: Sequence[float] = DEFAULT_SNRS,
+    kinds: Sequence[str] = ("awgn", "rayleigh"),
+    batches_per_point: int = 4,
+) -> Dict[str, List[dict]]:
+    """PSNR/SSIM + index-error-rate curves for the discrete semantic-token
+    codec (codec/semantic_vq.py). The digital channel runs inside the
+    model, so each kind gets a model rebuilt with the overridden
+    cfg.channel.kind. Returns {kind: [{snr_db, psnr, ssim, index_err}]}.
+    """
+    import functools
+
+    from multimodal_sc_tpu.train import jscc
+
+    results: Dict[str, List[dict]] = {}
+    for ki, kind in enumerate(kinds):
+        model = jscc.build_model(
+            cfg.override_str([f"channel.kind={kind}"]))
+
+        @functools.partial(jax.jit)
+        def eval_point(params, img, snr_db, key, model=model):
+            snr_vec = jnp.full((img.shape[0],), snr_db, jnp.float32)
+            rec, aux = model.apply({"params": params}, img, snr_vec, key)
+            return psnr(rec, img), ssim(rec, img), aux["index_error_rate"]
+
+        curve = []
+        for si, snr_db in enumerate(snrs_db):
+            pv, sv, ev = [], [], []
+            for b in range(batches_per_point):
+                k = jax.random.fold_in(key, ki * 100000 + si * 100 + b)
+                p, s, e = eval_point(params, images, float(snr_db), k)
+                pv.append(float(p))
+                sv.append(float(s))
+                ev.append(float(e))
+            curve.append({"snr_db": float(snr_db),
+                          "psnr": float(np.mean(pv)),
+                          "ssim": float(np.mean(sv)),
+                          "index_err": float(np.mean(ev))})
+        results[kind] = curve
+    return results
+
+
 def sweep_lidar(
     model, params, points: Array, mask: Array, occ_target: Array, key: Array,
     snrs_db: Sequence[float] = DEFAULT_SNRS,

@@ -92,6 +92,27 @@ def export_camera_codec(cfg: ExperimentConfig, params: Any,
         img_s = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32)
         snr_s = jax.ShapeDtypeStruct((batch,), jnp.float32)
 
+    if cfg.camera.arch == "vq":
+        # Discrete semantic-token codec (codec/semantic_vq.py): the
+        # over-the-air payload is INTEGER indices, so the transmitter
+        # exports img -> (b, n_tokens) int32 and the receiver
+        # indices -> image. No SNR input — the digital radio between the
+        # halves handles modulation/FEC however it likes.
+        def enc_vq(img):
+            idx, _, _ = model.apply({"params": params}, img,
+                                    method="encode_tokens")
+            return idx
+
+        idx_spec = jax.eval_shape(enc_vq, img_s)
+        idx_s = jax.ShapeDtypeStruct(idx_spec.shape, idx_spec.dtype)
+
+        def dec_vq(idx):
+            return model.apply({"params": params}, idx,
+                               method="decode_tokens")
+
+        return {"encoder": _export(enc_vq, img_s),
+                "decoder": _export(dec_vq, idx_s)}
+
     def enc(img, snr_db):
         return model.apply({"params": params}, img, snr_db, method="encode")
 

@@ -47,6 +47,13 @@ def build_model(cfg: ExperimentConfig):
             use_pallas=cfg.use_pallas,
             dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
         )
+    elif cfg.camera.arch == "vq":
+        from multimodal_sc_tpu.codec.semantic_vq import VQCameraJSCC
+
+        return VQCameraJSCC(
+            cfg=cfg,
+            dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+        )
     elif cfg.camera.arch == "vit":
         from multimodal_sc_tpu.codec.camera_vit import ViTJSCC
 
@@ -71,7 +78,13 @@ def create_train_state(cfg: ExperimentConfig, key: Array) -> TrainState:
     h, w = cfg.camera.image_hw
     dummy = jnp.zeros((2, h, w, 3), jnp.float32)
     dummy_snr = jnp.full((2,), cfg.channel.snr_db, jnp.float32)
-    params = model.init(key, dummy, dummy_snr)["params"]
+    if cfg.camera.arch == "vq":
+        # The VQ pipeline's __call__ runs the digital channel inside the
+        # graph, so init also takes a channel key.
+        params = model.init(key, dummy, dummy_snr, jax.random.key(0))[
+            "params"]
+    else:
+        params = model.init(key, dummy, dummy_snr)["params"]
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip),
         optax.adamw(
@@ -117,6 +130,29 @@ def _step_body(cfg: ExperimentConfig, model):
     with_seg = cfg.camera.seg_classes > 0 and cfg.camera.arch == "cnn"
     adaptive = cfg.camera.adaptive_rate
     c_sym, m_min = cfg.camera.c_sym, cfg.camera.rate_min_sym
+
+    if cfg.camera.arch == "vq":
+        # Discrete semantic-token pipeline (codec/semantic_vq.py): the
+        # model's __call__ runs TX -> QPSK digital channel -> RX in one
+        # graph; loss = MSE + VQ codebook/commitment terms.
+        def vq_loss_fn(params, img, snr_db, key):
+            recon, aux = model.apply({"params": params}, img, snr_db, key)
+            mse = jnp.mean(jnp.square(recon - img))
+            return mse + aux["vq_loss"], (recon, aux)
+
+        def vq_body(state: TrainState, img: Array, seg, key: Array):
+            ksnr, kch = jax.random.split(key)
+            snr_db = _sample_snr(cfg, ksnr, img.shape[0])
+            (loss, (recon, aux)), grads = jax.value_and_grad(
+                vq_loss_fn, has_aux=True)(state.params, img, snr_db, kch)
+            state = state.apply_gradients(grads=grads)
+            metrics = {"loss": loss, "psnr": psnr(recon, img),
+                       "vq_loss": aux["vq_loss"],
+                       "index_error_rate": aux["index_error_rate"],
+                       "code_perplexity": aux["code_perplexity"]}
+            return state, metrics
+
+        return vq_body
 
     def loss_fn(params, img, seg, snr_db, key, krate):
         if adaptive:
@@ -205,6 +241,15 @@ def make_eval_step(cfg: ExperimentConfig, model):
     kind = cfg.channel.kind
     ch_kw = channel_kwargs(cfg.channel)
 
+    if cfg.camera.arch == "vq":
+        # The VQ model runs its digital channel inside __call__.
+        @jax.jit
+        def vq_eval_step(params, img, snr_db, key):
+            recon, _ = model.apply({"params": params}, img, snr_db, key)
+            return psnr(recon, img)
+
+        return vq_eval_step
+
     @functools.partial(jax.jit, static_argnames=("eval_kind",))
     def eval_step(params, img, snr_db, key, eval_kind=kind):
         recon, _ = reconstruct(params, model, img, snr_db, key, eval_kind,
@@ -242,6 +287,22 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
             state = restored
 
     start_step = int(jax.device_get(state.step))
+    if cfg.camera.arch == "vq" and start_step == 0:
+        # Fresh VQ runs seed the codebook from real encoder outputs
+        # (codec/semantic_vq.py init_codebook_from_batch — the collapse
+        # fix). Dedicated stream, so the train/eval streams are untouched;
+        # resumed runs restore the trained codebook instead.
+        from multimodal_sc_tpu.codec.semantic_vq import (
+            init_codebook_from_batch,
+        )
+
+        init_img = jnp.asarray(next(ImageDataset(
+            cfg.train.dataset, cfg.train.batch_size,
+            seed=cfg.train.seed + 777, data_root=cfg.train.data_root,
+            real_bank=data._real)))
+        state = state.replace(params=init_codebook_from_batch(
+            model, state.params, init_img,
+            jax.random.fold_in(jax.random.key(cfg.train.seed), 0xCB)))
     # Resume-determinism: per-step keys and data batches are derived from
     # the global step index, so a restored run replays the exact same
     # stream as an uninterrupted one (kill-and-resume test, SURVEY §5.3).

@@ -34,6 +34,20 @@ RUNS = [
                        "--set", "camera.adaptive_rate=true",
                        "--set", f"train.checkpoint_dir={OUT}/ckpt_c1r",
                        "--out", f"{OUT}/c1_rate_curve.json"]),
+    # r3 third camera family: discrete semantic tokens over a QPSK digital
+    # channel (codec/semantic_vq.py) — the "semantic tokens over a digital
+    # radio" deployment mode, complementing analog JSCC's graceful
+    # degradation with a near-lossless-above-waterfall / cliff-below curve.
+    ("c1_vq", ["train", "--config", "c1",
+               "--set", "camera.arch=vq",
+               "--set", "train.steps=3000",
+               "--set", "train.log_every=300",
+               "--set", f"train.checkpoint_dir={OUT}/ckpt_c1vq",
+               "--set", "train.checkpoint_every=1500"]),
+    ("c1_vq_sweep", ["eval", "--config", "c1", "--kinds", "awgn,rayleigh",
+                     "--set", "camera.arch=vq",
+                     "--set", f"train.checkpoint_dir={OUT}/ckpt_c1vq",
+                     "--out", f"{OUT}/c1_vq_curves.json"]),
     ("c2", ["train", "--config", "c2",
             "--set", "train.steps=3000", "--set", "train.log_every=200",
             "--set", f"train.checkpoint_dir={OUT}/ckpt_c2",

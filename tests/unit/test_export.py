@@ -54,6 +54,38 @@ def test_camera_codec_export_roundtrip(key, tmp_path):
     assert (tmp_path / "manifest.json").exists()
 
 
+def test_vq_codec_export_roundtrip(key, tmp_path):
+    """VQ arch exports int32 token payloads: encoder img -> indices,
+    decoder indices -> image, both batch-polymorphic, matching the live
+    model exactly (codec/semantic_vq.py deployment split)."""
+    from multimodal_sc_tpu.train import jscc
+
+    cfg = get_preset("c1").override_str([
+        "camera.arch=vq", "camera.vq_codes=64", "camera.vq_dim=16",
+        "camera.features=8,16,16,16",
+    ])
+    state = jscc.create_train_state(cfg, key)
+    parts = export_lib.export_camera_codec(cfg, state.params)
+    assert set(parts) == {"encoder", "decoder"}
+
+    export_lib.save_artifact(str(tmp_path), parts, cfg)
+    fns = export_lib.load_artifact(str(tmp_path))
+    model = jscc.build_model(export_lib._portable(cfg))
+
+    for b in (2, 5):
+        img = jax.random.uniform(jax.random.fold_in(key, b), (b, 32, 32, 3))
+        idx = fns["encoder"](img)
+        idx_ref, _, _ = model.apply({"params": state.params}, img,
+                                    method="encode_tokens")
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+        assert idx.dtype == jnp.int32
+        rec = fns["decoder"](idx)
+        rec_ref = model.apply({"params": state.params}, idx,
+                              method="decode_tokens")
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(rec_ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_lidar_codec_export_roundtrip(key):
     from multimodal_sc_tpu.train.fusion_jscc import build_lidar_codec
 
