@@ -36,18 +36,41 @@ def index_bits(codes: int) -> int:
     return n
 
 
-def indices_to_qpsk(idx: Array, codes: int) -> Array:
-    """(B, N) int32 indices -> (B, N * bits/2, 2) unit-power QPSK symbols.
-
-    Bit b=0 maps to -1/sqrt(2), b=1 to +1/sqrt(2), little-endian bit
-    order within an index; consecutive bit pairs form (I, Q).
-    """
+def bits_from_indices(idx: Array, codes: int) -> Array:
+    """(B, N) int32 indices -> (B, N * bits) 0/1 bit tensor,
+    little-endian bit order within each index."""
     n_bits = index_bits(codes)
     shifts = jnp.arange(n_bits, dtype=jnp.int32)
     bits = (idx[..., None] >> shifts) & 1                  # (B, N, n_bits)
-    b, n = idx.shape
-    comps = bits.reshape(b, n * n_bits // 2, 2)
+    return bits.reshape(idx.shape[0], -1).astype(jnp.int32)
+
+
+def indices_from_bits(bits: Array, codes: int) -> Array:
+    """Inverse of :func:`bits_from_indices`: (B, N * bits) -> (B, N)."""
+    n_bits = index_bits(codes)
+    shifts = jnp.arange(n_bits, dtype=jnp.int32)
+    grouped = bits.reshape(bits.shape[0], -1, n_bits)
+    return jnp.sum(grouped << shifts, axis=-1).astype(jnp.int32)
+
+
+def bits_to_qpsk(bits: Array) -> Array:
+    """(B, M) 0/1 bits (M even) -> (B, M/2, 2) unit-power QPSK symbols.
+    Bit 0 maps to -1/sqrt(2), 1 to +1/sqrt(2); consecutive pairs (I, Q).
+    """
+    comps = bits.reshape(bits.shape[0], -1, 2)
     return (comps.astype(jnp.float32) * 2.0 - 1.0) * _QPSK_AMP
+
+
+def qpsk_to_bits(y: Array) -> Array:
+    """Hard-decision inverse of :func:`bits_to_qpsk`:
+    (B, M/2, 2) received symbols -> (B, M) 0/1 bits."""
+    return (y > 0).astype(jnp.int32).reshape(y.shape[0], -1)
+
+
+def indices_to_qpsk(idx: Array, codes: int) -> Array:
+    """(B, N) int32 indices -> (B, N * bits/2, 2) unit-power QPSK symbols
+    (uncoded path: :func:`bits_from_indices` then :func:`bits_to_qpsk`)."""
+    return bits_to_qpsk(bits_from_indices(idx, codes))
 
 
 def qpsk_to_indices(y: Array, codes: int, n_tokens: int) -> Array:
@@ -55,11 +78,8 @@ def qpsk_to_indices(y: Array, codes: int, n_tokens: int) -> Array:
 
     y: (B, n_tokens * bits/2, 2) received symbols -> (B, n_tokens) int32.
     """
-    n_bits = index_bits(codes)
-    b = y.shape[0]
-    bits = (y > 0).astype(jnp.int32).reshape(b, n_tokens, n_bits)
-    shifts = jnp.arange(n_bits, dtype=jnp.int32)
-    return jnp.sum(bits << shifts, axis=-1).astype(jnp.int32)
+    del n_tokens  # shape is implied by y; kept for call-site clarity
+    return indices_from_bits(qpsk_to_bits(y), codes)
 
 
 def qpsk_ber_awgn_theory(snr_db: float) -> float:

@@ -28,9 +28,17 @@ from flax import linen as nn
 from multimodal_sc_tpu.channel import channel as channel_op
 from multimodal_sc_tpu.channel import channel_kwargs
 from multimodal_sc_tpu.channel.digital import (
+    bits_from_indices,
+    bits_to_qpsk,
     index_bits,
+    indices_from_bits,
     indices_to_qpsk,
+    qpsk_to_bits,
     qpsk_to_indices,
+)
+from multimodal_sc_tpu.channel.fec import (
+    hamming74_decode,
+    hamming74_encode,
 )
 from multimodal_sc_tpu.codec.camera_cnn import PReLU
 from multimodal_sc_tpu.config.configs import ExperimentConfig
@@ -91,7 +99,15 @@ class VQCameraJSCC(nn.Module):
 
     def setup(self):
         cam = self.cfg.camera
-        index_bits(cam.vq_codes)   # validate at construction
+        n_bits = index_bits(cam.vq_codes)   # validate at construction
+        if self.cfg.channel.fec == "hamming74":
+            # FEC needs whole nibbles AND an even coded bit count so the
+            # 7/4x payload still fills whole QPSK symbols.
+            total = self.n_tokens * n_bits
+            if total % 8 != 0:
+                raise ValueError(
+                    "channel.fec=hamming74 needs n_tokens * bits_per_index"
+                    f" divisible by 8, got {self.n_tokens} * {n_bits}")
         feats = cam.features
         strides = (2, 2, 1, 1)
         self.enc_blocks = [
@@ -174,12 +190,25 @@ class VQCameraJSCC(nn.Module):
         """
         cfg = self.cfg
         idx_tx, vq_loss, z_ste = self.encode_tokens(img)
-        sym = indices_to_qpsk(idx_tx, cfg.camera.vq_codes)
+        codes = cfg.camera.vq_codes
+        if cfg.channel.fec == "hamming74":
+            # Coded digital path (channel/fec.py): indices -> bits ->
+            # Hamming(7,4) -> QPSK; 7/4x the symbols, single-bit errors
+            # per block corrected. Parameter-transparent — the same
+            # checkpoint deploys coded or uncoded.
+            sym = bits_to_qpsk(hamming74_encode(
+                bits_from_indices(idx_tx, codes)))
+        else:
+            sym = indices_to_qpsk(idx_tx, codes)
         ch_kw = channel_kwargs(cfg.channel)
         ch_kw["normalize"] = False            # QPSK is exactly unit power
         ch_kw["modulation"] = 0               # mapping already digital
         y = channel_op(sym, snr_db, cfg.channel.kind, key, **ch_kw)
-        idx_rx = qpsk_to_indices(y, cfg.camera.vq_codes, idx_tx.shape[1])
+        if cfg.channel.fec == "hamming74":
+            idx_rx = indices_from_bits(
+                hamming74_decode(qpsk_to_bits(y)), codes)
+        else:
+            idx_rx = qpsk_to_indices(y, codes, idx_tx.shape[1])
         idx_err = jnp.mean((idx_rx != idx_tx).astype(jnp.float32))
         # Received codes on the forward path, clean STE on the backward.
         z_rx = z_ste + jax.lax.stop_gradient(self.codebook[idx_rx] - z_ste)

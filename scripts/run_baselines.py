@@ -48,6 +48,15 @@ RUNS = [
                      "--set", "camera.arch=vq",
                      "--set", f"train.checkpoint_dir={OUT}/ckpt_c1vq",
                      "--out", f"{OUT}/c1_vq_curves.json"]),
+    # Same checkpoint deployed CODED (channel/fec.py Hamming(7,4) between
+    # indices and QPSK, 7/4x bandwidth): FEC is parameter-transparent, so
+    # this is a pure deployment ablation — the waterfall moves left.
+    ("c1_vq_fec_sweep", ["eval", "--config", "c1",
+                         "--kinds", "awgn,rayleigh",
+                         "--set", "camera.arch=vq",
+                         "--set", "channel.fec=hamming74",
+                         "--set", f"train.checkpoint_dir={OUT}/ckpt_c1vq",
+                         "--out", f"{OUT}/c1_vq_fec_curves.json"]),
     ("c2", ["train", "--config", "c2",
             "--set", "train.steps=3000", "--set", "train.log_every=200",
             "--set", f"train.checkpoint_dir={OUT}/ckpt_c2",
