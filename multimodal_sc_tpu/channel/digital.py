@@ -67,6 +67,14 @@ def qpsk_to_bits(y: Array) -> Array:
     return (y > 0).astype(jnp.int32).reshape(y.shape[0], -1)
 
 
+def qpsk_soft_bits(y: Array) -> Array:
+    """(B, M/2, 2) received symbols -> (B, M) SOFT bit values (sign =
+    hard decision, magnitude = reliability) for soft-decision FEC
+    (channel/fec.py hamming74_decode_soft). For AWGN the raw component
+    IS the max-likelihood bit metric up to a positive scale."""
+    return y.reshape(y.shape[0], -1).astype(jnp.float32)
+
+
 def indices_to_qpsk(idx: Array, codes: int) -> Array:
     """(B, N) int32 indices -> (B, N * bits/2, 2) unit-power QPSK symbols
     (uncoded path: :func:`bits_from_indices` then :func:`bits_to_qpsk`)."""

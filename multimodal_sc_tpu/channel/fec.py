@@ -89,6 +89,37 @@ def hamming74_decode(bits: Array) -> Array:
     return data.reshape(*bits.shape[:-1], -1).astype(jnp.int32)
 
 
+def _all_codewords():
+    """(codewords (16, 7), data (16, 4)) int32 — all Hamming(7,4) words;
+    row ordering is arbitrary but shared, which is all decode needs."""
+    data = jnp.stack(jnp.meshgrid(*([jnp.arange(2)] * 4),
+                                  indexing="ij"), -1).reshape(16, 4)
+    return (data @ _G.T) % 2, data
+
+
+def hamming74_decode_soft(soft: Array) -> Array:
+    """Maximum-likelihood SOFT-decision decode: (..., 7k) soft bit values
+    (sign = hard decision, magnitude = reliability — e.g. the received
+    QPSK components) -> (..., 4k) data bits.
+
+    Correlates each received 7-block against all 16 codewords in one
+    (…, 7) x (7, 16) matmul and takes the argmax — exact ML over the
+    code, worth ~1.5-2 dB over hard-decision syndrome decoding at the
+    same bandwidth (measured in tests/unit/test_fec.py and the c1_vq
+    sweep table in BASELINE.md).
+    """
+    if soft.shape[-1] % 7 != 0:
+        raise ValueError(
+            f"coded bit count must be a multiple of 7, got {soft.shape}")
+    codes, data = _all_codewords()
+    signs = (2.0 * codes - 1.0).astype(jnp.float32)       # (16, 7)
+    words = soft.reshape(*soft.shape[:-1], -1, 7)
+    scores = words.astype(jnp.float32) @ signs.T          # (..., k, 16)
+    best = jnp.argmax(scores, axis=-1)
+    out = data[best]                                      # (..., k, 4)
+    return out.reshape(*soft.shape[:-1], -1).astype(jnp.int32)
+
+
 def hamming74_block_error_theory(ber: float) -> float:
     """Closed-form block (4-bit nibble) error probability at channel
     bit-error rate ``ber``: wrong iff >= 2 of the 7 coded bits flip."""

@@ -33,11 +33,13 @@ from multimodal_sc_tpu.channel.digital import (
     index_bits,
     indices_from_bits,
     indices_to_qpsk,
+    qpsk_soft_bits,
     qpsk_to_bits,
     qpsk_to_indices,
 )
 from multimodal_sc_tpu.channel.fec import (
     hamming74_decode,
+    hamming74_decode_soft,
     hamming74_encode,
 )
 from multimodal_sc_tpu.codec.camera_cnn import PReLU
@@ -100,13 +102,13 @@ class VQCameraJSCC(nn.Module):
     def setup(self):
         cam = self.cfg.camera
         n_bits = index_bits(cam.vq_codes)   # validate at construction
-        if self.cfg.channel.fec == "hamming74":
+        if self.cfg.channel.fec != "none":
             # FEC needs whole nibbles AND an even coded bit count so the
             # 7/4x payload still fills whole QPSK symbols.
             total = self.n_tokens * n_bits
             if total % 8 != 0:
                 raise ValueError(
-                    "channel.fec=hamming74 needs n_tokens * bits_per_index"
+                    "channel.fec needs n_tokens * bits_per_index"
                     f" divisible by 8, got {self.n_tokens} * {n_bits}")
         feats = cam.features
         strides = (2, 2, 1, 1)
@@ -191,11 +193,11 @@ class VQCameraJSCC(nn.Module):
         cfg = self.cfg
         idx_tx, vq_loss, z_ste = self.encode_tokens(img)
         codes = cfg.camera.vq_codes
-        if cfg.channel.fec == "hamming74":
+        fec = cfg.channel.fec
+        if fec in ("hamming74", "hamming74_soft"):
             # Coded digital path (channel/fec.py): indices -> bits ->
-            # Hamming(7,4) -> QPSK; 7/4x the symbols, single-bit errors
-            # per block corrected. Parameter-transparent — the same
-            # checkpoint deploys coded or uncoded.
+            # Hamming(7,4) -> QPSK; 7/4x the symbols. Parameter-
+            # transparent — the same checkpoint deploys coded or uncoded.
             sym = bits_to_qpsk(hamming74_encode(
                 bits_from_indices(idx_tx, codes)))
         else:
@@ -204,9 +206,13 @@ class VQCameraJSCC(nn.Module):
         ch_kw["normalize"] = False            # QPSK is exactly unit power
         ch_kw["modulation"] = 0               # mapping already digital
         y = channel_op(sym, snr_db, cfg.channel.kind, key, **ch_kw)
-        if cfg.channel.fec == "hamming74":
+        if fec == "hamming74":
             idx_rx = indices_from_bits(
                 hamming74_decode(qpsk_to_bits(y)), codes)
+        elif fec == "hamming74_soft":
+            # ML correlation decode on the raw received components.
+            idx_rx = indices_from_bits(
+                hamming74_decode_soft(qpsk_soft_bits(y)), codes)
         else:
             idx_rx = qpsk_to_indices(y, codes, idx_tx.shape[1])
         idx_err = jnp.mean((idx_rx != idx_tx).astype(jnp.float32))

@@ -48,9 +48,11 @@ class ChannelConfig:
                                   # P unit-power pilots (fading kinds)
     ofdm_subcarriers: int = 64    # kind="ofdm" only
     ofdm_taps: int = 8            # multipath taps, exponential PDP
-    fec: str = "none"             # none | hamming74 — digital-path FEC
-                                  # (channel/fec.py; VQ codec only, 7/4x
-                                  # bandwidth, parameter-transparent)
+    fec: str = "none"             # none | hamming74 | hamming74_soft —
+                                  # digital-path FEC (channel/fec.py; VQ
+                                  # codec only, 7/4x bandwidth,
+                                  # parameter-transparent; _soft = ML
+                                  # correlation decode, ~2 dB better)
 
     def __post_init__(self):
         # Fail at config construction, not at channel() trace time.
@@ -58,10 +60,10 @@ class ChannelConfig:
         if self.kind not in kinds:
             raise ValueError(
                 f"channel.kind must be one of {kinds}, got {self.kind!r}")
-        if self.fec not in ("none", "hamming74"):
+        if self.fec not in ("none", "hamming74", "hamming74_soft"):
             raise ValueError(
-                f"channel.fec must be 'none' or 'hamming74', got "
-                f"{self.fec!r}")
+                "channel.fec must be 'none', 'hamming74' or "
+                f"'hamming74_soft', got {self.fec!r}")
         if self.pilots < 0:
             raise ValueError(f"channel.pilots must be >= 0, got {self.pilots}")
         if self.ofdm_subcarriers < 1 or self.ofdm_taps < 1:

@@ -57,6 +57,16 @@ RUNS = [
                          "--set", "channel.fec=hamming74",
                          "--set", f"train.checkpoint_dir={OUT}/ckpt_c1vq",
                          "--out", f"{OUT}/c1_vq_fec_curves.json"]),
+    # Soft-decision ML decode of the same code on the same checkpoint:
+    # same bandwidth as hamming74, ~2 dB more coding gain.
+    ("c1_vq_fecsoft_sweep", ["eval", "--config", "c1",
+                             "--kinds", "awgn,rayleigh",
+                             "--set", "camera.arch=vq",
+                             "--set", "channel.fec=hamming74_soft",
+                             "--set",
+                             f"train.checkpoint_dir={OUT}/ckpt_c1vq",
+                             "--out",
+                             f"{OUT}/c1_vq_fecsoft_curves.json"]),
     ("c2", ["train", "--config", "c2",
             "--set", "train.steps=3000", "--set", "train.log_every=200",
             "--set", f"train.checkpoint_dir={OUT}/ckpt_c2",
@@ -206,6 +216,19 @@ RUNS = [
                              "--set",
                              f"train.checkpoint_dir={OUT}/ckpt_c4rb",
                              "--out", f"{OUT}/c4_robust_policy_curves.json"]),
+    # Budget-scaling arm: 2x the standard c4 budget. Shows the recipe
+    # keeps improving (or saturates honestly) past the gated 5000-iter
+    # bar; EMA deployment evaluated like the production arms.
+    ("c4_long", ["train", "--config", "c4",
+                 "--set", "train.steps=10000",
+                 "--set", "train.log_every=1000",
+                 "--set", f"train.checkpoint_dir={OUT}/ckpt_c4L",
+                 "--set", "train.checkpoint_every=10000"]),
+    ("c4_long_eval_ema", ["eval-policy", "--config", "c4",
+                          "--episodes", "256", "--use-ema",
+                          "--set", "train.steps=10000",
+                          "--set",
+                          f"train.checkpoint_dir={OUT}/ckpt_c4L"]),
     # c5 at the r2-bar budget (150 updates), both eval modes recorded in
     # ONE artifact (VERDICT r2 item 4 — the r2 json only held the 60-update
     # run and an rc-1 eval).
