@@ -17,6 +17,14 @@ a differentiable channel.
 
 TPU-first notes: the nearest-code search is one (B*N, K) matmul distance
 (MXU-friendly); bits/QPSK mapping is elementwise; all shapes static.
+
+Semantic unequal power allocation (``channel.uep_alpha`` > 0): the
+transmitter estimates each token's reconstruction damage under a
+single-bit error (decoder VJP probes, :meth:`VQCameraJSCC.token_damage`)
+and redistributes QPSK power toward high-damage tokens at exactly unit
+mean power. Receiver-transparent (sign detection is scale-invariant) and
+parameter-transparent (same checkpoint deploys with or without UEP),
+like the FEC flag.
 """
 
 from __future__ import annotations
@@ -110,6 +118,16 @@ class VQCameraJSCC(nn.Module):
                 raise ValueError(
                     "channel.fec needs n_tokens * bits_per_index"
                     f" divisible by 8, got {self.n_tokens} * {n_bits}")
+        if cam.vq_prune:
+            if self.cfg.channel.uep_alpha > 0:
+                raise ValueError(
+                    "channel.uep_alpha with camera.vq_prune is not "
+                    "supported yet (power renormalization over the kept "
+                    "set is unimplemented)")
+            # Receiver-side placeholder for untransmitted tokens; trained
+            # because dropped positions forward through it.
+            self.mask_embed = self.param(
+                "mask_embed", nn.initializers.normal(0.02), (cam.vq_dim,))
         feats = cam.features
         strides = (2, 2, 1, 1)
         self.enc_blocks = [
@@ -182,16 +200,139 @@ class VQCameraJSCC(nn.Module):
         """(B, N) received indices -> image (pure receiver path)."""
         return self.codes_to_image(self.codebook[idx])
 
+    # --- semantic-importance unequal power allocation (UEP) ---
+
+    def token_damage(self, idx_tx: Array, key: Array) -> Array:
+        """Per-token expected squared reconstruction damage under a
+        single-bit index error: D_t = (1/n_bits) Σ_b ‖J_t Δe_t^b‖², where
+        J_t = ∂recon/∂z_t at the clean codes and Δe_t^b = e_{idx_t⊕2^b} −
+        e_{idx_t} (the embedding jump a bit-b channel error causes).
+
+        Estimated with ``cfg.channel.uep_probes`` random VJP probes —
+        unbiased, since for v ~ N(0, I) and g = Jᵀv (one decoder backward
+        pass), E_v[(g_t · Δe)²] = ‖J_t Δe‖² exactly. Everything the
+        transmitter needs (decoder params, codebook) is local in a JSCC
+        autoencoder deployment. Returns (B, N) float32, stop-gradiented.
+        """
+        cam = self.cfg.camera
+        n_bits = index_bits(cam.vq_codes)
+        z_clean = self.codebook[idx_tx]                    # (B, N, D)
+        _, vjp_fn = nn.vjp(
+            lambda m, z: m.codes_to_image(z), self, z_clean,
+            vjp_variables=False)
+        shifts = (1 << jnp.arange(n_bits, dtype=jnp.int32))
+        idx_flip = idx_tx[..., None] ^ shifts              # (B, N, n_bits)
+        delta = self.codebook[idx_flip] - z_clean[:, :, None, :]
+        b = idx_tx.shape[0]
+        h, w = cam.image_hw
+        probes = self.cfg.channel.uep_probes
+        v = jax.random.normal(key, (probes, b, h, w, 3), jnp.float32)
+        # vjp_fn -> (variables_cotangent ({} here), z_cotangent).
+        g = jax.vmap(lambda vv: vjp_fn(vv)[1])(v)          # (P, B, N, D)
+        dot = jnp.einsum("pbnd,bnkd->pbnk", g, delta)
+        return jax.lax.stop_gradient(
+            jnp.mean(dot * dot, axis=(0, 3)))              # (B, N)
+
+    @staticmethod
+    def waterfill_power(damage: Array, snr_db) -> Array:
+        """SNR-aware Chernoff water-filling: minimize Σ_t D_t e^{−s·w²_t/2}
+        subject to Σ_t w²_t = N (per-bit error ≈ Q(w√s) ≤ e^{−s·w²/2} at
+        linear SNR s). KKT gives w²_t = max(0, (2/s)·ln(s·D_t/(2λ))) with
+        λ fixed by 50-step log-bisection per example. Near-uniform at
+        high SNR (errors rare everywhere), concentrates power on
+        high-damage tokens at low SNR — the adaptation the fixed-α
+        family lacks. Returns per-token POWER (B, N), mean exactly 1.
+        """
+        n = damage.shape[1]
+        s = jnp.asarray(snr_db, jnp.float32)
+        s = s.reshape(-1, 1) if s.ndim == 1 else s.reshape(1, 1)
+        s = jnp.power(10.0, s / 10.0)
+        a = jnp.log(s * damage / 2.0 + 1e-30)              # (B, N)
+        hi = jnp.max(a, axis=1, keepdims=True)             # total(hi) = 0
+        lo = hi - s * (n / 2.0)                            # total(lo) >= N
+
+        def body(_, bounds):
+            lo, hi = bounds
+            mid = 0.5 * (lo + hi)
+            total = jnp.sum(jnp.clip((2.0 / s) * (a - mid), 0.0),
+                            axis=1, keepdims=True)
+            big = total > n
+            return jnp.where(big, mid, lo), jnp.where(big, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, 50, body, (lo, hi))
+        w2 = jnp.clip((2.0 / s) * (a - 0.5 * (lo + hi)), 0.0)
+        tot = jnp.sum(w2, axis=1, keepdims=True)
+        # Exact power budget (bisection is within float tolerance); the
+        # degenerate all-zero case (flat damage at extreme SNR) falls
+        # back to uniform.
+        return jnp.where(tot > 1e-8, w2 * (n / jnp.maximum(tot, 1e-8)),
+                         jnp.ones_like(w2))
+
+    def uep_weights(self, idx_tx: Array, snr_db, key: Array) -> Array:
+        """(B, N) per-token QPSK amplitude weights w_t with exact unit
+        mean power (mean_t w_t² == 1): power ∝ damage^alpha, or the
+        SNR-aware waterfill allocation (cfg.channel.uep_mode). alpha = 0
+        would be uniform (the caller skips UEP entirely then).
+
+        Waterfill under FEC uses the coded error exponent: the pairwise
+        soft-ML error between codewords at distance d is
+        Q(√(d·s·w²)) — exponent d·s·w²/2 — so the effective SNR scales
+        by d_min (3 for soft Hamming(7,4); ~2 for hard syndrome
+        decoding, whose block errors need ≥ 2 bit flips). Without this
+        the allocator assumes uncoded bits and over-concentrates
+        (measured −0.9 dB at 0 dB coded, BASELINE.md UEP section).
+        """
+        damage = self.token_damage(idx_tx, key)
+        if self.cfg.channel.uep_mode == "waterfill":
+            dmin = {"none": 1.0, "hamming74": 2.0,
+                    "hamming74_soft": 3.0}[self.cfg.channel.fec]
+            snr_eff = jnp.asarray(snr_db, jnp.float32) + 10.0 * jnp.log10(
+                jnp.float32(dmin))
+            return jnp.sqrt(self.waterfill_power(damage, snr_eff))
+        p_tok = jnp.power(damage + 1e-12, self.cfg.channel.uep_alpha)
+        p_tok = p_tok / jnp.mean(p_tok, axis=1, keepdims=True)
+        return jnp.sqrt(p_tok)
+
     # --- full pipeline (training / eval graph) ---
 
-    def __call__(self, img: Array, snr_db, key: Array):
+    def __call__(self, img: Array, snr_db, key: Array, keep=None):
         """(recon, aux): the whole TX->channel->RX pipeline, one graph.
 
         aux: vq_loss, index_error_rate. Noise-aware: the decoder forward
         uses the received codes; gradients take the clean STE path.
+
+        keep: optional (B,) per-example kept-token fraction (semantic
+        token pruning, camera.vq_prune models). The training driver
+        passes random fractions; at deploy `None` falls back to
+        cfg.channel.token_keep with cfg.channel.token_select ranking
+        ("damage" transmits the semantically important tokens only).
+        Dropped tokens transmit nothing (zero symbols = bandwidth
+        saved); the receiver decodes them as the learned mask embedding
+        and needs the kept-set bitmap (N bits of side-channel metadata
+        in a real system).
         """
         cfg = self.cfg
         idx_tx, vq_loss, z_ste = self.encode_tokens(img)
+        n_tok = idx_tx.shape[1]
+        prune = cfg.camera.vq_prune
+        if keep is None and prune and cfg.channel.token_keep < 1.0:
+            keep = jnp.full((img.shape[0],), cfg.channel.token_keep,
+                            jnp.float32)
+        if keep is not None and not prune:
+            raise ValueError("keep requires camera.vq_prune=true")
+        kept = None
+        if prune and keep is not None:
+            m = jnp.ceil(keep * n_tok).astype(jnp.int32)   # (B,)
+            if cfg.channel.token_select == "damage":
+                scores = self.token_damage(
+                    idx_tx, jax.random.fold_in(key, 88))
+            else:
+                scores = jax.random.uniform(
+                    jax.random.fold_in(key, 88), idx_tx.shape)
+            # kept = top-m tokens by score, static shapes throughout.
+            order = jnp.argsort(-scores, axis=1)
+            rank = jnp.argsort(order, axis=1)
+            kept = rank < m[:, None]                       # (B, N) bool
         codes = cfg.camera.vq_codes
         fec = cfg.channel.fec
         if fec in ("hamming74", "hamming74_soft"):
@@ -202,6 +343,22 @@ class VQCameraJSCC(nn.Module):
                 bits_from_indices(idx_tx, codes)))
         else:
             sym = indices_to_qpsk(idx_tx, codes)
+        if cfg.channel.uep_alpha > 0:
+            # Semantic UEP: redistribute power toward high-damage tokens
+            # at exactly unit mean symbol power (token weight repeats
+            # over its contiguous symbols — coded or uncoded layout).
+            # Receiver-transparent: QPSK hard decisions are sign-based
+            # and the soft-FEC metric scales uniformly within a block.
+            w_tok = self.uep_weights(idx_tx, snr_db,
+                                     jax.random.fold_in(key, 77))
+            spt = sym.shape[1] // n_tok
+            sym = sym * jnp.repeat(w_tok, spt, axis=1)[..., None]
+        if kept is not None:
+            # Dropped tokens transmit nothing — their symbols carry zero
+            # power (bandwidth elasticity, not a power trade).
+            spt = sym.shape[1] // n_tok
+            sym = sym * jnp.repeat(kept.astype(sym.dtype), spt,
+                                   axis=1)[..., None]
         ch_kw = channel_kwargs(cfg.channel)
         ch_kw["normalize"] = False            # QPSK is exactly unit power
         ch_kw["modulation"] = 0               # mapping already digital
@@ -215,9 +372,21 @@ class VQCameraJSCC(nn.Module):
                 hamming74_decode_soft(qpsk_soft_bits(y)), codes)
         else:
             idx_rx = qpsk_to_indices(y, codes, idx_tx.shape[1])
-        idx_err = jnp.mean((idx_rx != idx_tx).astype(jnp.float32))
+        err = (idx_rx != idx_tx).astype(jnp.float32)
         # Received codes on the forward path, clean STE on the backward.
         z_rx = z_ste + jax.lax.stop_gradient(self.codebook[idx_rx] - z_ste)
+        if kept is not None:
+            # Untransmitted positions decode as the learned mask
+            # embedding (gradient flows to it, not to the encoder —
+            # those tokens were never sent); error rate counts
+            # transmitted tokens only.
+            me = jnp.broadcast_to(self.mask_embed, z_rx.shape)
+            z_rx = jnp.where(kept[..., None], z_rx,
+                             me.astype(z_rx.dtype))
+            kf = kept.astype(jnp.float32)
+            idx_err = jnp.sum(err * kf) / jnp.maximum(jnp.sum(kf), 1.0)
+        else:
+            idx_err = jnp.mean(err)
         recon = self.codes_to_image(z_rx)
         # Codebook-usage perplexity (exp entropy of the index histogram):
         # ~1 means collapse, ~codes means uniform usage. The collapse
@@ -225,8 +394,16 @@ class VQCameraJSCC(nn.Module):
         # init_codebook_from_batch.
         p = jnp.mean(jax.nn.one_hot(idx_tx, cfg.camera.vq_codes), axis=(0, 1))
         perplexity = jnp.exp(-jnp.sum(p * jnp.log(p + 1e-10)))
-        return recon, {"vq_loss": vq_loss, "index_error_rate": idx_err,
-                       "code_perplexity": perplexity}
+        aux = {"vq_loss": vq_loss, "index_error_rate": idx_err,
+               "code_perplexity": perplexity}
+        if cfg.channel.uep_alpha > 0:
+            # Observability: how nonuniform the allocation actually is
+            # (std of per-token power around its unit mean).
+            aux["uep_power_spread"] = jnp.mean(
+                jnp.std(jnp.square(w_tok), axis=1))
+        if kept is not None:
+            aux["token_keep_frac"] = jnp.mean(kept.astype(jnp.float32))
+        return recon, aux
 
     @property
     def n_tokens(self) -> int:

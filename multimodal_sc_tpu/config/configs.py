@@ -53,6 +53,20 @@ class ChannelConfig:
                                   # codec only, 7/4x bandwidth,
                                   # parameter-transparent; _soft = ML
                                   # correlation decode, ~2 dB better)
+    uep_alpha: float = 0.0        # >0: semantic-importance unequal power
+                                  # allocation on the VQ digital path —
+                                  # per-token power ∝ damage^alpha at
+                                  # fixed total power (semantic_vq.py;
+                                  # parameter-transparent deployment)
+    uep_mode: str = "alpha"       # alpha | waterfill (SNR-aware Chernoff
+                                  # water-filling; uep_alpha>0 enables,
+                                  # exponent ignored)
+    uep_probes: int = 2           # VJP probes for the damage estimate
+    token_keep: float = 1.0       # deploy-time kept token fraction for
+                                  # vq_prune models (< 1 transmits only
+                                  # the selected tokens' symbols)
+    token_select: str = "damage"  # damage | random — deploy-time token
+                                  # selection rule (damage = semantic)
 
     def __post_init__(self):
         # Fail at config construction, not at channel() trace time.
@@ -66,6 +80,24 @@ class ChannelConfig:
                 f"'hamming74_soft', got {self.fec!r}")
         if self.pilots < 0:
             raise ValueError(f"channel.pilots must be >= 0, got {self.pilots}")
+        if self.uep_alpha < 0:
+            raise ValueError(
+                f"channel.uep_alpha must be >= 0, got {self.uep_alpha}")
+        if self.uep_mode not in ("alpha", "waterfill"):
+            raise ValueError(
+                "channel.uep_mode must be 'alpha' or 'waterfill', got "
+                f"{self.uep_mode!r}")
+        if not 0.0 < self.token_keep <= 1.0:
+            raise ValueError(
+                f"channel.token_keep must be in (0, 1], got "
+                f"{self.token_keep}")
+        if self.token_select not in ("damage", "random"):
+            raise ValueError(
+                "channel.token_select must be 'damage' or 'random', got "
+                f"{self.token_select!r}")
+        if self.uep_probes < 1:
+            raise ValueError(
+                f"channel.uep_probes must be >= 1, got {self.uep_probes}")
         if self.ofdm_subcarriers < 1 or self.ofdm_taps < 1:
             raise ValueError("channel.ofdm_subcarriers and channel.ofdm_taps "
                              "must be >= 1")
@@ -94,6 +126,11 @@ class CameraCodecConfig:
     vq_codes: int = 256
     vq_dim: int = 64
     vq_beta: float = 0.25
+    # Semantic token pruning (digital bandwidth elasticity): train with
+    # per-example random token dropping + a learned mask embedding so
+    # one model deploys at any keep fraction (channel.token_keep).
+    vq_prune: bool = False
+    vq_keep_min: float = 0.25     # training keep-fraction lower bound
 
     def __post_init__(self):
         if not 1 <= self.rate_min_sym <= self.c_sym:
@@ -102,6 +139,12 @@ class CameraCodecConfig:
                 f"got {self.rate_min_sym}")
         if self.adaptive_rate and self.arch != "cnn":
             raise ValueError("camera.adaptive_rate requires arch='cnn'")
+        if self.vq_prune and self.arch != "vq":
+            raise ValueError("camera.vq_prune requires arch='vq'")
+        if not 0.0 < self.vq_keep_min <= 1.0:
+            raise ValueError(
+                f"camera.vq_keep_min must be in (0, 1], got "
+                f"{self.vq_keep_min}")
 
 
 @dataclass(frozen=True)

@@ -67,6 +67,27 @@ RUNS = [
                              f"train.checkpoint_dir={OUT}/ckpt_c1vq",
                              "--out",
                              f"{OUT}/c1_vq_fecsoft_curves.json"]),
+    # Semantic-importance unequal power allocation on the same
+    # checkpoint (uncoded path; alpha picked by the TPU alpha probe —
+    # BASELINE.md UEP section).
+    ("c1_vq_uep_sweep", ["eval", "--config", "c1",
+                         "--kinds", "awgn,rayleigh",
+                         "--set", "camera.arch=vq",
+                         "--set", "channel.uep_alpha=0.25",
+                         "--set",
+                         f"train.checkpoint_dir={OUT}/ckpt_c1vq",
+                         "--out", f"{OUT}/c1_vq_uep_curves.json"]),
+    # SNR-aware Chernoff water-filling allocation — the deep-waterfall
+    # deployment (BASELINE.md UEP section).
+    ("c1_vq_uep_wf_sweep", ["eval", "--config", "c1",
+                            "--kinds", "awgn,rayleigh",
+                            "--set", "camera.arch=vq",
+                            "--set", "channel.uep_alpha=1.0",
+                            "--set", "channel.uep_mode=waterfill",
+                            "--set",
+                            f"train.checkpoint_dir={OUT}/ckpt_c1vq",
+                            "--out",
+                            f"{OUT}/c1_vq_uep_wf_curves.json"]),
     ("c2", ["train", "--config", "c2",
             "--set", "train.steps=3000", "--set", "train.log_every=200",
             "--set", f"train.checkpoint_dir={OUT}/ckpt_c2",
