@@ -173,6 +173,22 @@ def main(argv=None) -> int:
                    help="PSNR-vs-bandwidth curve instead of PSNR-vs-SNR "
                         "(adaptive_rate camera configs only; evaluated at "
                         "channel.snr_db over the first --kinds entry)")
+    e.add_argument("--allow-untrained", action="store_true",
+                   dest="allow_untrained",
+                   help="permit sweeping UNTRAINED init params when no "
+                        "checkpoint exists (default: hard error — the "
+                        "silent fallback recorded a flat-16.76-dB HARQ "
+                        "curve from a deleted checkpoint dir in r3)")
+    e.add_argument("--harq-sweep", action="store_true", dest="harq_sweep",
+                   help="Type-I HARQ (CRC-8 + chase combining, "
+                        "channel/harq.py) deployment curve for a VQ codec: "
+                        "PSNR + adaptive bandwidth vs SNR on the same "
+                        "checkpoint")
+    e.add_argument("--keep-sweep", action="store_true", dest="keep_sweep",
+                   help="PSNR-vs-kept-token-fraction curve for a token-"
+                        "pruned VQ codec (camera.vq_prune configs only; "
+                        "one curve per selection rule, damage vs random, "
+                        "at channel.kind @ channel.snr_db)")
     e.add_argument("--kinds", default="awgn,rayleigh",
                    help="comma list of channel kinds to sweep "
                         "(awgn,rayleigh,rician,ideal)")
@@ -419,6 +435,10 @@ def main(argv=None) -> int:
                     state = restored
                     print(f"restored step {mgr.latest_step()} from "
                           f"{cfg.train.checkpoint_dir}", file=sys.stderr)
+                else:
+                    state = state.replace(params=_untrained_fallback(
+                        cfg, state.params,
+                        getattr(args, "allow_untrained", False)))
             # The fusion pipeline's own builders: param trees are
             # guaranteed to match the checkpoint (the plain-jscc builder
             # would add a seg head for cnn+seg_classes configs).
@@ -469,6 +489,14 @@ def main(argv=None) -> int:
                 state = restored
                 print(f"restored step {mgr.latest_step()} from "
                       f"{cfg.train.checkpoint_dir}", file=sys.stderr)
+            else:
+                # Hard error like eval-policy/export: a deleted checkpoint
+                # dir silently produced a flat untrained HARQ curve with
+                # rc 0 in r3 (the exact failure eval-policy was already
+                # guarded against).
+                state = state.replace(params=_untrained_fallback(
+                    cfg, state.params,
+                    getattr(args, "allow_untrained", False)))
         model = jscc.build_model(cfg)
         with_seg = cfg.camera.seg_classes > 0 and cfg.camera.arch == "cnn"
         data = ImageDataset(cfg.train.dataset, cfg.train.batch_size,
@@ -480,6 +508,41 @@ def main(argv=None) -> int:
         else:
             images, seg = next(data), None
         if cfg.camera.arch == "vq":
+            if getattr(args, "harq_sweep", False):
+                curves = snr_sweep.sweep_camera_vq_harq(
+                    cfg, state.params, jax.numpy.asarray(images), key,
+                    kinds=tuple(k.strip() for k in args.kinds.split(",")))
+                for kind, curve in curves.items():
+                    print(f"{kind}: {'snr':>6} {'psnr':>8} {'idx_err':>9} "
+                          f"{'sym/img':>9} {'rounds':>7} {'fail':>7}")
+                    for p in curve:
+                        print(f"      {p['snr_db']:>6.1f} {p['psnr']:>8.2f} "
+                              f"{p['index_err']:>9.4f} "
+                              f"{p['symbols_per_item']:>9.1f} "
+                              f"{p['mean_rounds']:>7.2f} "
+                              f"{p['residual_fail_rate']:>7.4f}")
+                if args.out:
+                    snr_sweep.save_curves(curves, args.out)
+                return 0
+            if getattr(args, "keep_sweep", False):
+                if not cfg.camera.vq_prune:
+                    print("--keep-sweep requires camera.vq_prune=true",
+                          file=sys.stderr)
+                    return 2
+                curves = snr_sweep.sweep_camera_vq_keep(
+                    cfg, state.params, jax.numpy.asarray(images), key)
+                print(f"{'keep':>8} " + " ".join(
+                    f"{s + '/psnr':>14} {s + '/idx_err':>14}"
+                    for s in curves))
+                for i, p in enumerate(next(iter(curves.values()))):
+                    row = f"{p['keep']:>8.3f} " + " ".join(
+                        f"{curves[s][i]['psnr']:>14.3f} "
+                        f"{curves[s][i]['index_err']:>14.4f}"
+                        for s in curves)
+                    print(row)
+                if args.out:
+                    snr_sweep.save_curves(curves, args.out)
+                return 0
             # Discrete-token codec: digital channel inside the model —
             # its own sweep (PSNR/SSIM + index error rate per kind).
             curves = snr_sweep.sweep_camera_vq(

@@ -57,6 +57,44 @@ from multimodal_sc_tpu.kernels.conv_block import FusedConvPReLU
 Array = jax.Array
 
 
+def farthest_point_order(h: int, w: int):
+    """Greedy farthest-point ordering of an (h, w) grid: every prefix of
+    the returned (h*w,) int array is maximally spread (min pairwise
+    distance maximized greedily). Static numpy at trace time — the
+    'scatter' token-selection score (see VQCameraJSCC.__call__):
+    measured on the r3 keep sweep, SPATIAL SPREAD of the kept set matters
+    more than per-token importance because the random-mask-trained
+    decoder inpaints scattered drops far better than clustered ones."""
+    import numpy as np
+
+    pts = np.stack(np.meshgrid(np.arange(h), np.arange(w),
+                               indexing="ij"), -1).reshape(-1, 2).astype(
+        np.float64)
+    n = h * w
+    order = np.empty(n, np.int64)
+    # Start at the center-most point.
+    center = np.array([(h - 1) / 2.0, (w - 1) / 2.0])
+    d_center = np.sum((pts - center) ** 2, axis=1)
+    order[0] = int(np.argmin(d_center))
+    mind = np.sum((pts - pts[order[0]]) ** 2, axis=1)
+    for i in range(1, n):
+        mind[order[:i]] = -1.0
+        order[i] = int(np.argmax(mind))
+        mind = np.minimum(mind, np.sum((pts - pts[order[i]]) ** 2, axis=1))
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n)
+    return rank                                   # (h*w,) position -> rank
+
+
+def topk_mask(scores: Array, m: Array) -> Array:
+    """(B, N) scores, (B,) counts -> boolean mask keeping each row's top-m
+    scores (ties broken by position via argsort stability). Static shapes:
+    the double-argsort rank trick instead of a dynamic top_k."""
+    order = jnp.argsort(-scores, axis=1)
+    rank = jnp.argsort(order, axis=1)
+    return rank < m[:, None]
+
+
 def vector_quantize(z_e: Array, codebook: Array, beta: float = 0.25):
     """Nearest-code quantization with STE + codebook/commitment losses.
 
@@ -233,6 +271,32 @@ class VQCameraJSCC(nn.Module):
         return jax.lax.stop_gradient(
             jnp.mean(dot * dot, axis=(0, 3)))              # (B, N)
 
+    def token_drop_damage(self, idx_tx: Array, key: Array) -> Array:
+        """Per-token expected squared reconstruction damage when the token
+        is NOT transmitted and the receiver decodes the learned mask
+        embedding instead: D_t = ‖J_t (mask_embed − e_{idx_t})‖².
+
+        The pruning-specific importance rank: :meth:`token_damage` scores
+        the SINGLE-BIT-ERROR jump (a nearby code), which is the wrong
+        perturbation model for dropping — measured on the r3 c1_vq_prune
+        checkpoint, bit-flip ranking LOST to random selection at every
+        keep fraction (BASELINE.md token-pruning section) while this rank
+        recovers the semantic win. Same unbiased VJP probe estimator.
+        Requires camera.vq_prune (the mask embedding must exist)."""
+        cam = self.cfg.camera
+        z_clean = self.codebook[idx_tx]                    # (B, N, D)
+        _, vjp_fn = nn.vjp(
+            lambda m, z: m.codes_to_image(z), self, z_clean,
+            vjp_variables=False)
+        delta = self.mask_embed[None, None, :] - z_clean   # (B, N, D)
+        b = idx_tx.shape[0]
+        h, w = cam.image_hw
+        probes = self.cfg.channel.uep_probes
+        v = jax.random.normal(key, (probes, b, h, w, 3), jnp.float32)
+        g = jax.vmap(lambda vv: vjp_fn(vv)[1])(v)          # (P, B, N, D)
+        dot = jnp.einsum("pbnd,bnd->pbn", g, delta)
+        return jax.lax.stop_gradient(jnp.mean(dot * dot, axis=0))
+
     @staticmethod
     def waterfill_power(damage: Array, snr_db) -> Array:
         """SNR-aware Chernoff water-filling: minimize Σ_t D_t e^{−s·w²_t/2}
@@ -295,7 +359,8 @@ class VQCameraJSCC(nn.Module):
 
     # --- full pipeline (training / eval graph) ---
 
-    def __call__(self, img: Array, snr_db, key: Array, keep=None):
+    def __call__(self, img: Array, snr_db, key: Array, keep=None,
+                 select=None):
         """(recon, aux): the whole TX->channel->RX pipeline, one graph.
 
         aux: vq_loss, index_error_rate. Noise-aware: the decoder forward
@@ -310,6 +375,11 @@ class VQCameraJSCC(nn.Module):
         saved); the receiver decodes them as the learned mask embedding
         and needs the kept-set bitmap (N bits of side-channel metadata
         in a real system).
+
+        select: optional selection-rule override ("damage" | "random");
+        None falls back to cfg.channel.token_select. The training driver
+        forces "random" (full coverage of drop patterns, no per-step VJP
+        probes); deployment ranks by damage.
         """
         cfg = self.cfg
         idx_tx, vq_loss, z_ste = self.encode_tokens(img)
@@ -323,16 +393,38 @@ class VQCameraJSCC(nn.Module):
         kept = None
         if prune and keep is not None:
             m = jnp.ceil(keep * n_tok).astype(jnp.int32)   # (B,)
-            if cfg.channel.token_select == "damage":
+            if select is None:
+                select = cfg.channel.token_select
+            gh, gw = cfg.camera.image_hw[0] // 4, cfg.camera.image_hw[1] // 4
+            if select == "drop_damage":
+                scores = self.token_drop_damage(
+                    idx_tx, jax.random.fold_in(key, 88))
+            elif select == "damage":
                 scores = self.token_damage(
                     idx_tx, jax.random.fold_in(key, 88))
+            elif select == "scatter":
+                # Content-free maximal spatial spread: every prefix of the
+                # farthest-point ordering is well-scattered over the token
+                # grid (the decoder's inpainting prior is the binding
+                # constraint — BASELINE.md token-pruning section).
+                scores = jnp.broadcast_to(
+                    -jnp.asarray(farthest_point_order(gh, gw),
+                                 jnp.float32), idx_tx.shape)
+            elif select == "drop_damage_scatter":
+                # Semantics + spread: average of the two percentile ranks
+                # (drop-damage descending, farthest-point ascending).
+                dmg = self.token_drop_damage(
+                    idx_tx, jax.random.fold_in(key, 88))
+                dmg_rank = jnp.argsort(jnp.argsort(-dmg, axis=1), axis=1)
+                sc_rank = jnp.broadcast_to(
+                    jnp.asarray(farthest_point_order(gh, gw), jnp.int32),
+                    idx_tx.shape)
+                scores = -(dmg_rank + sc_rank).astype(jnp.float32)
             else:
                 scores = jax.random.uniform(
                     jax.random.fold_in(key, 88), idx_tx.shape)
             # kept = top-m tokens by score, static shapes throughout.
-            order = jnp.argsort(-scores, axis=1)
-            rank = jnp.argsort(order, axis=1)
-            kept = rank < m[:, None]                       # (B, N) bool
+            kept = topk_mask(scores, m)                    # (B, N) bool
         codes = cfg.camera.vq_codes
         fec = cfg.channel.fec
         if fec in ("hamming74", "hamming74_soft"):

@@ -62,11 +62,30 @@ class ChannelConfig:
                                   # water-filling; uep_alpha>0 enables,
                                   # exponent ignored)
     uep_probes: int = 2           # VJP probes for the damage estimate
+    v2x_snr_offset_db: float = 0.0  # V2X (RSU->ego) link SNR relative to
+                                  # the deployed snr_db (env.v2x_rays > 0):
+                                  # one radio environment, two links — the
+                                  # infrastructure link may be better
+                                  # (elevated antenna) or worse
     token_keep: float = 1.0       # deploy-time kept token fraction for
                                   # vq_prune models (< 1 transmits only
                                   # the selected tokens' symbols)
-    token_select: str = "damage"  # damage | random — deploy-time token
-                                  # selection rule (damage = semantic)
+    token_select: str = "scatter"  # scatter | drop_damage_scatter |
+                                  # drop_damage | damage | random —
+                                  # deploy-time token selection rule.
+                                  # Measured ordering on the r3 keep
+                                  # sweep (BASELINE.md): scatter (pure
+                                  # farthest-point spatial spread) wins
+                                  # at every keep <= 0.5 — the random-
+                                  # mask-trained decoder's inpainting
+                                  # needs COVERAGE more than per-token
+                                  # importance; drop_damage ranks by the
+                                  # reconstruction damage of replacing
+                                  # the token with the mask embedding
+                                  # (beats bit-flip 'damage' but loses
+                                  # to scatter); drop_damage_scatter
+                                  # blends both ranks; random = ablation
+
 
     def __post_init__(self):
         # Fail at config construction, not at channel() trace time.
@@ -91,9 +110,11 @@ class ChannelConfig:
             raise ValueError(
                 f"channel.token_keep must be in (0, 1], got "
                 f"{self.token_keep}")
-        if self.token_select not in ("damage", "random"):
+        selects = ("drop_damage", "damage", "random", "scatter",
+                   "drop_damage_scatter")
+        if self.token_select not in selects:
             raise ValueError(
-                "channel.token_select must be 'damage' or 'random', got "
+                f"channel.token_select must be one of {selects}, got "
                 f"{self.token_select!r}")
         if self.uep_probes < 1:
             raise ValueError(
@@ -186,6 +207,24 @@ class EnvConfig:
     dt: float = 0.1
     num_lanes: int = 3
     lane_width: float = 4.0
+    fog_range: float = 0.0        # >0: ego sensor visibility limit (m) —
+    # camera pixels beyond it fade to fog gray, ego LiDAR returns beyond it
+    # are dropped. 0 = clear sky (every pre-existing config).
+    v2x_rays: int = 0             # >0: V2X cooperative perception — a
+    # roadside unit (RSU) v2x_lookahead meters ahead runs its own
+    # lidar scan (this many rays, NOT fog-limited: elevated mast above the
+    # fog layer) and its points are appended to the observation; the
+    # perception trunk encodes them with the SAME LiDAR semantic codec and
+    # ships the tokens over the channel (the RSU->ego link). 0 = off.
+    v2x_lookahead: float = 24.0   # RSU position ahead of the ego (m, arc)
+
+    def __post_init__(self):
+        if self.fog_range < 0:
+            raise ValueError(
+                f"env.fog_range must be >= 0, got {self.fog_range}")
+        if self.v2x_rays < 0:
+            raise ValueError(
+                f"env.v2x_rays must be >= 0, got {self.v2x_rays}")
 
 
 @dataclass(frozen=True)

@@ -324,7 +324,21 @@ def render_camera(cfg: EnvConfig, state: EnvState) -> Array:
     ego_mask = jnp.clip(ego_x * ego_y, 0.0, 1.0)
     img = img * (1 - ego_mask[..., None]) + ego_mask[..., None] * jnp.array(
         [0.1, 0.85, 0.1])
+    img = _apply_fog(cfg, img, jnp.broadcast_to(xs, (h, w)))
     return img.astype(jnp.float32)
+
+
+FOG_COLOR = jnp.array([0.55, 0.55, 0.58])
+
+
+def _apply_fog(cfg: EnvConfig, img: Array, dist: Array) -> Array:
+    """Blend pixels toward fog gray past ``cfg.fog_range`` (per-pixel
+    distance map ``dist``, same (h, w) as the image). Smooth ~2 m edge so
+    the boundary is VPU-friendly; identity when fog is off."""
+    if cfg.fog_range <= 0.0:
+        return img
+    vis = jax.nn.sigmoid((cfg.fog_range - dist) * 2.0)[..., None]
+    return img * vis + FOG_COLOR * (1.0 - vis)
 
 
 def render_camera_front(cfg: EnvConfig, state: EnvState) -> Array:
@@ -391,6 +405,9 @@ def render_camera_front(cfg: EnvConfig, state: EnvState) -> Array:
                          0.1 + 0.0 * shade], axis=-1)
     img = img * (1 - total[..., None]) + jnp.clip(car_col, 0, 1) \
         * total[..., None]
+    # Fog by ground-plane depth (sky pixels sit at the fog color too —
+    # depth 1e6 — matching the real washed-out horizon).
+    img = _apply_fog(cfg, img, depth2d)
     return jnp.clip(img, 0.0, 1.0).astype(jnp.float32)
 
 
@@ -442,7 +459,8 @@ def _curb_distance(cfg: EnvConfig, state: EnvState, dx: Array, dy: Array
     return jnp.where(hit, t_hit, LIDAR_MAX_RANGE + 1.0)
 
 
-def lidar_scan(cfg: EnvConfig, state: EnvState) -> Tuple[Array, Array]:
+def lidar_scan(cfg: EnvConfig, state: EnvState, rays: int = 0,
+               max_range: float = 0.0) -> Tuple[Array, Array]:
     """Fixed ray fan vs NPC circles + road boundaries (curbs).
 
     Returns (points (R,4), mask (R,)). Rays are cast in the EGO frame
@@ -451,8 +469,11 @@ def lidar_scan(cfg: EnvConfig, state: EnvState) -> Tuple[Array, Array]:
     carry (z, intensity) = (0.5, 1.0) for vehicles and (0.15, 0.4) for
     curbs — separable channels for the pillar encoder. ``cfg.lidar_road``
     gates the curb returns (the pre-r3 NPC-only scan when off).
+
+    ``rays`` overrides ``cfg.lidar_rays`` (the V2X RSU fan); ``max_range``
+    > 0 drops returns beyond it (ego fog, ``cfg.fog_range``).
     """
-    r = cfg.lidar_rays
+    r = rays or cfg.lidar_rays
     angles = jnp.linspace(-jnp.pi / 2, jnp.pi / 2, r)
     dx = jnp.cos(angles)          # (R,)
     dy = jnp.sin(angles)
@@ -475,7 +496,9 @@ def lidar_scan(cfg: EnvConfig, state: EnvState) -> Tuple[Array, Array]:
         t_min = t_npc
         z = jnp.full((r,), _NPC_Z)
         inten = jnp.ones((r,))
-    mask = t_min <= LIDAR_MAX_RANGE
+    reach = min(LIDAR_MAX_RANGE, max_range) if max_range > 0 \
+        else LIDAR_MAX_RANGE
+    mask = t_min <= reach
     t_safe = jnp.where(mask, t_min, 0.0)
     pts = jnp.stack([t_safe * dx, t_safe * dy, z, inten],
                     axis=-1).astype(jnp.float32)
@@ -483,12 +506,36 @@ def lidar_scan(cfg: EnvConfig, state: EnvState) -> Tuple[Array, Array]:
     return pts, mask
 
 
+def v2x_scan(cfg: EnvConfig, state: EnvState) -> Tuple[Array, Array]:
+    """RSU cooperative-perception scan (``cfg.v2x_rays`` > 0).
+
+    A roadside unit ``cfg.v2x_lookahead`` meters ahead of the ego (arc
+    position, road center, facing along the road) runs the same ray-fan
+    scan from ITS frame — the virtual EnvState reuses all the ego scan
+    geometry. Points stay in the RSU frame (the RSU encodes locally and
+    transmits tokens; the agent knows the static lookahead and learns the
+    geometry through the fusion transformer's V2X modality embedding).
+    Not fog-limited: the RSU mast sits above the fog layer."""
+    rsu = jnp.stack([state.ego[0] + cfg.v2x_lookahead,
+                     jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0)])
+    virtual = state._replace(ego=rsu)
+    return lidar_scan(cfg, virtual, rays=cfg.v2x_rays)
+
+
 def observe(cfg: EnvConfig, state: EnvState) -> Tuple[Array, Array, Array]:
     if cfg.camera_mode == "front":
         img = render_camera_front(cfg, state)
     else:
         img = render_camera(cfg, state)
-    pts, mask = lidar_scan(cfg, state)
+    pts, mask = lidar_scan(cfg, state, max_range=cfg.fog_range)
+    if cfg.v2x_rays > 0:
+        # RSU points appended after the ego rays: every downstream
+        # consumer (replay, n-step window, obs carry, PPO rollouts) sees
+        # one (lidar_rays + v2x_rays, 4) array; the perception trunk
+        # splits at the static cfg.env.lidar_rays boundary.
+        v_pts, v_mask = v2x_scan(cfg, state)
+        pts = jnp.concatenate([pts, v_pts], axis=0)
+        mask = jnp.concatenate([mask, v_mask], axis=0)
     return img, pts, mask
 
 

@@ -194,6 +194,124 @@ def sweep_camera_vq(
     return results
 
 
+DEFAULT_KEEPS = (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 1.0)
+
+
+def sweep_camera_vq_keep(
+    cfg, params, images: Array, key: Array,
+    keeps: Sequence[float] = DEFAULT_KEEPS,
+    selects: Sequence[str] = ("drop_damage", "random", "scatter",
+                              "drop_damage_scatter"),
+    batches_per_point: int = 4,
+) -> Dict[str, List[dict]]:
+    """PSNR/SSIM vs kept-token fraction for a token-pruned VQ codec.
+
+    The digital analogue of :func:`sweep_camera_rate`: one camera.vq_prune
+    model (codec/semantic_vq.py) deployed at every keep fraction, at the
+    config's channel kind/SNR. Each selection rule gets its own curve —
+    the damage-vs-random gap at equal keep IS the semantic story (the
+    transmitter spends its token budget on the tokens whose corruption
+    costs the most reconstruction). Returns
+    {select: [{keep, psnr, ssim, index_err}]}.
+    """
+    import functools
+
+    from multimodal_sc_tpu.train import jscc
+
+    if not cfg.camera.vq_prune:
+        raise ValueError("sweep_camera_vq_keep requires camera.vq_prune")
+    model = jscc.build_model(cfg)
+
+    @functools.partial(jax.jit, static_argnames=("select",))
+    def eval_point(params, img, keep, key, select):
+        snr_vec = jnp.full((img.shape[0],), cfg.channel.snr_db, jnp.float32)
+        keep_vec = jnp.full((img.shape[0],), keep, jnp.float32)
+        rec, aux = model.apply({"params": params}, img, snr_vec, key,
+                               keep=keep_vec, select=select)
+        return psnr(rec, img), ssim(rec, img), aux["index_error_rate"]
+
+    results: Dict[str, List[dict]] = {}
+    for si, select in enumerate(selects):
+        curve = []
+        for ki, keep in enumerate(keeps):
+            pv, sv, ev = [], [], []
+            for b in range(batches_per_point):
+                k = jax.random.fold_in(key, si * 100000 + ki * 100 + b)
+                p, s, e = eval_point(params, images, float(keep), k, select)
+                pv.append(float(p))
+                sv.append(float(s))
+                ev.append(float(e))
+            curve.append({"keep": float(keep),
+                          "psnr": float(np.mean(pv)),
+                          "ssim": float(np.mean(sv)),
+                          "index_err": float(np.mean(ev))})
+        results[select] = curve
+    return results
+
+
+def sweep_camera_vq_harq(
+    cfg, params, images: Array, key: Array,
+    snrs_db: Sequence[float] = DEFAULT_SNRS,
+    kinds: Sequence[str] = ("awgn", "rayleigh"),
+    batches_per_point: int = 4,
+    max_rounds: int = 4,
+    block_bits: int = 64,
+    crc_bits: int = 8,
+) -> Dict[str, List[dict]]:
+    """Type-I HARQ deployment curves for the VQ codec (channel/harq.py).
+
+    Same checkpoint as the one-shot/FEC deployments (the protocol is
+    parameter-transparent); each point also records the ADAPTIVE bandwidth
+    actually spent — symbols_per_item vs the one-shot cost — and the mean
+    transmission rounds. Returns {kind: [{snr_db, psnr, ssim, index_err,
+    symbols_per_item, mean_rounds, residual_fail_rate}]}.
+    """
+    import functools
+
+    from multimodal_sc_tpu.channel.digital import (
+        bits_from_indices,
+        indices_from_bits,
+    )
+    from multimodal_sc_tpu.channel.harq import harq_transmit
+    from multimodal_sc_tpu.train import jscc
+
+    model = jscc.build_model(cfg)
+    codes = cfg.camera.vq_codes
+
+    @functools.partial(jax.jit, static_argnames=("kind",))
+    def eval_point(params, img, snr_db, key, kind):
+        snr_vec = jnp.full((img.shape[0],), snr_db, jnp.float32)
+        idx_tx, _, _ = model.apply({"params": params}, img,
+                                   method="encode_tokens")
+        bits = bits_from_indices(idx_tx, codes)
+        bits_rx, info = harq_transmit(
+            bits, snr_vec, kind, key, block_bits=block_bits,
+            crc_bits=crc_bits, max_rounds=max_rounds)
+        idx_rx = indices_from_bits(bits_rx, codes)
+        rec = model.apply({"params": params}, idx_rx,
+                          method="decode_tokens")
+        err = jnp.mean((idx_rx != idx_tx).astype(jnp.float32))
+        return psnr(rec, img), ssim(rec, img), err, info
+
+    results: Dict[str, List[dict]] = {}
+    for ki, kind in enumerate(kinds):
+        curve = []
+        for si, snr_db in enumerate(snrs_db):
+            acc: Dict[str, list] = {}
+            for b in range(batches_per_point):
+                k = jax.random.fold_in(key, ki * 100000 + si * 100 + b)
+                p, s, e, info = eval_point(params, images, float(snr_db),
+                                           k, kind)
+                for name, v in (("psnr", p), ("ssim", s), ("index_err", e),
+                                *info.items()):
+                    acc.setdefault(name, []).append(float(v))
+            curve.append({"snr_db": float(snr_db),
+                          **{k_: float(np.mean(v)) for k_, v in
+                             acc.items()}})
+        results[kind] = curve
+    return results
+
+
 def sweep_lidar(
     model, params, points: Array, mask: Array, occ_target: Array, key: Array,
     snrs_db: Sequence[float] = DEFAULT_SNRS,

@@ -69,6 +69,17 @@ class SemanticPerception(nn.Module):
         self.lid_sym_embed = nn.Dense(lid.pillar_dim, dtype=dtype)
         self.lid_dec = BEVBackbone(
             features=(lid.pillar_dim, lid.pillar_dim), dtype=dtype)
+        if self.cfg.env.v2x_rays > 0:
+            # V2X cooperative perception (envs/driving.py v2x_scan): the
+            # RSU's point cloud rides the SAME LiDAR semantic codec
+            # (shared params — the same codec firmware deployed on both
+            # units) over its own channel instance; the only new param is
+            # this modality embedding, which tells the fusion transformer
+            # which tokens came over the V2X link (and therefore carry
+            # the static-lookahead RSU frame).
+            self.v2x_embed = self.param(
+                "v2x_embed", nn.initializers.normal(0.02),
+                (1, 1, self.cfg.lidar.pillar_dim))
         attn_pallas = self.cfg.use_pallas or self.cfg.pallas_attention
         self.fusion = FusionTransformer(
             dim=fus.dim, depth=fus.depth, heads=fus.heads,
@@ -93,6 +104,12 @@ class SemanticPerception(nn.Module):
             # architecture/params, LiDAR branch fed zeros.
             points = jnp.zeros_like(points)
             mask = jnp.zeros_like(mask)
+        v2x = self.cfg.env.v2x_rays > 0
+        if v2x:
+            # Ego rays first, RSU rays after (envs/driving.py observe).
+            r_ego = self.cfg.env.lidar_rays
+            points, pts_v2x = points[:, :r_ego], points[:, r_ego:]
+            mask, mask_v2x = mask[:, :r_ego], mask[:, r_ego:]
         k_cam, k_lid = jax.random.split(key)
 
         # Channel-aware policy (r3): with camera.snr_conditioning the
@@ -112,15 +129,31 @@ class SemanticPerception(nn.Module):
 
         # LiDAR branch: pillars -> BEV -> symbols -> channel -> tokens.
         lid = self.cfg.lidar
-        bev = self.lid_backbone(self.pfn(points, mask))
-        sym = self.lid_sym_head(bev)
-        b, h, w, _ = sym.shape
-        z_lid = sym.reshape(b, h * w * lid.c_sym, 2).astype(jnp.float32)
-        z_lid_hat = channel_op(z_lid, snr_db, ch.kind, k_lid,
+
+        def lidar_branch(pts, msk, link_snr, k):
+            bev = self.lid_backbone(self.pfn(pts, msk))
+            sym = self.lid_sym_head(bev)
+            b, h, w, _ = sym.shape
+            z = sym.reshape(b, h * w * lid.c_sym, 2).astype(jnp.float32)
+            z_hat = channel_op(z, link_snr, ch.kind, k,
                                **channel_kwargs(ch))
-        x = z_lid_hat.reshape(b, h, w, 2 * lid.c_sym)
-        lid_tokens = self.lid_dec(self.lid_sym_embed(x)).reshape(
-            b, h * w, lid.pillar_dim).astype(jnp.float32)
+            x = z_hat.reshape(b, h, w, 2 * lid.c_sym)
+            return self.lid_dec(self.lid_sym_embed(x)).reshape(
+                b, h * w, lid.pillar_dim).astype(jnp.float32)
+
+        lid_tokens = lidar_branch(points, mask, snr_db, k_lid)
+        if v2x:
+            # RSU tokens ride the V2X link (own SNR offset, own noise
+            # instance) through the SAME codec, then join the LiDAR token
+            # stream tagged by the modality embedding — the fusion
+            # transformer needs no structural change.
+            v2x_tokens = lidar_branch(
+                pts_v2x, mask_v2x, snr_db + ch.v2x_snr_offset_db,
+                jax.random.fold_in(k_lid, 0xB2C))
+            lid_tokens = jnp.concatenate(
+                [lid_tokens,
+                 v2x_tokens + self.v2x_embed.astype(v2x_tokens.dtype)],
+                axis=1)
 
         return self.fusion(cam_tokens, lid_tokens)
 

@@ -135,21 +135,40 @@ def _step_body(cfg: ExperimentConfig, model):
         # Discrete semantic-token pipeline (codec/semantic_vq.py): the
         # model's __call__ runs TX -> QPSK digital channel -> RX in one
         # graph; loss = MSE + VQ codebook/commitment terms.
-        def vq_loss_fn(params, img, snr_db, key):
-            recon, aux = model.apply({"params": params}, img, snr_db, key)
+        prune = cfg.camera.vq_prune
+        keep_min = cfg.camera.vq_keep_min
+
+        def vq_loss_fn(params, img, snr_db, key, keep):
+            # Token-pruned training transmits RANDOM subsets (select=
+            # "random": cheap, and covers every drop pattern the
+            # damage-ranked deployment can produce); dropped positions
+            # decode as the learned mask embedding.
+            kw = {"keep": keep, "select": "random"} if prune else {}
+            recon, aux = model.apply({"params": params}, img, snr_db, key,
+                                     **kw)
             mse = jnp.mean(jnp.square(recon - img))
             return mse + aux["vq_loss"], (recon, aux)
 
         def vq_body(state: TrainState, img: Array, seg, key: Array):
             ksnr, kch = jax.random.split(key)
             snr_db = _sample_snr(cfg, ksnr, img.shape[0])
+            # Per-example kept-token fraction in [vq_keep_min, 1] —
+            # bandwidth-agile digital training, mirroring the analog
+            # adaptive_rate branch below. Folded key: non-prune configs
+            # keep the exact pre-existing stream.
+            keep = (jax.random.uniform(
+                jax.random.fold_in(key, 0x6EE9), (img.shape[0],),
+                minval=keep_min, maxval=1.0) if prune else None)
             (loss, (recon, aux)), grads = jax.value_and_grad(
-                vq_loss_fn, has_aux=True)(state.params, img, snr_db, kch)
+                vq_loss_fn, has_aux=True)(state.params, img, snr_db, kch,
+                                          keep)
             state = state.apply_gradients(grads=grads)
             metrics = {"loss": loss, "psnr": psnr(recon, img),
                        "vq_loss": aux["vq_loss"],
                        "index_error_rate": aux["index_error_rate"],
                        "code_perplexity": aux["code_perplexity"]}
+            if prune:
+                metrics["token_keep_frac"] = aux["token_keep_frac"]
             return state, metrics
 
         return vq_body

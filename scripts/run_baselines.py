@@ -88,6 +88,36 @@ RUNS = [
                             f"train.checkpoint_dir={OUT}/ckpt_c1vq",
                             "--out",
                             f"{OUT}/c1_vq_uep_wf_curves.json"]),
+    # Type-I HARQ deployment (channel/harq.py: CRC-8 blocks + chase
+    # combining, feedback assumed error-free) of the SAME c1_vq
+    # checkpoint: near-error-free delivery at ADAPTIVE bandwidth — good
+    # channels pay ~1.13x one-shot (CRC overhead), the waterfall pays
+    # with retransmissions instead of reconstruction quality.
+    ("c1_vq_harq_sweep", ["eval", "--config", "c1", "--harq-sweep",
+                          "--kinds", "awgn,rayleigh",
+                          "--set", "camera.arch=vq",
+                          "--set",
+                          f"train.checkpoint_dir={OUT}/ckpt_c1vq",
+                          "--out", f"{OUT}/c1_vq_harq_curves.json"]),
+    # Semantic token pruning (digital bandwidth elasticity): one model
+    # trained with per-example random token dropping + a learned mask
+    # embedding (camera.vq_prune) deploys at any kept-token fraction;
+    # the keep sweep records the damage-vs-random selection gap (the
+    # semantic story: spend the token budget where corruption costs
+    # reconstruction the most).
+    ("c1_vq_prune", ["train", "--config", "c1",
+                     "--set", "camera.arch=vq",
+                     "--set", "camera.vq_prune=true",
+                     "--set", "train.steps=3000",
+                     "--set", "train.log_every=300",
+                     "--set", f"train.checkpoint_dir={OUT}/ckpt_c1vqp",
+                     "--set", "train.checkpoint_every=1500"]),
+    ("c1_vq_keep_sweep", ["eval", "--config", "c1", "--keep-sweep",
+                          "--set", "camera.arch=vq",
+                          "--set", "camera.vq_prune=true",
+                          "--set",
+                          f"train.checkpoint_dir={OUT}/ckpt_c1vqp",
+                          "--out", f"{OUT}/c1_vq_keep_curve.json"]),
     ("c2", ["train", "--config", "c2",
             "--set", "train.steps=3000", "--set", "train.log_every=200",
             "--set", f"train.checkpoint_dir={OUT}/ckpt_c2",
@@ -250,6 +280,52 @@ RUNS = [
                           "--set", "train.steps=10000",
                           "--set",
                           f"train.checkpoint_dir={OUT}/ckpt_c4L"]),
+    # V2X cooperative perception under fog (r3, envs/driving.py v2x_scan,
+    # rl/perception.py V2X branch): the ego's sensors are fog-limited to
+    # 20 m; an RSU 24 m ahead transmits its own scan as semantic tokens
+    # over the channel. Three-way story: clear-sky c4 (above) vs fogged
+    # (degraded bar) vs fogged+V2X (the link buys return back). The SNR
+    # sweeps measure the V2X value melting away as the link degrades —
+    # the fog arm is the floor the v2x arm falls back to.
+    ("c4_fog", ["train", "--config", "c4",
+                "--set", "env.fog_range=20",
+                "--set", "train.steps=5000",
+                "--set", "train.log_every=500",
+                "--set", f"train.checkpoint_dir={OUT}/ckpt_c4f",
+                "--set", "train.checkpoint_every=5000"]),
+    ("c4_fog_eval_ema", ["eval-policy", "--config", "c4",
+                         "--episodes", "256", "--use-ema",
+                         "--set", "env.fog_range=20",
+                         "--set", f"train.checkpoint_dir={OUT}/ckpt_c4f"]),
+    ("c4_fog_v2x", ["train", "--config", "c4",
+                    "--set", "env.fog_range=20",
+                    "--set", "env.v2x_rays=32",
+                    "--set", "train.steps=5000",
+                    "--set", "train.log_every=500",
+                    "--set", f"train.checkpoint_dir={OUT}/ckpt_c4fv",
+                    "--set", "train.checkpoint_every=5000"]),
+    ("c4_fog_v2x_eval_ema", ["eval-policy", "--config", "c4",
+                             "--episodes", "256", "--use-ema",
+                             "--set", "env.fog_range=20",
+                             "--set", "env.v2x_rays=32",
+                             "--set",
+                             f"train.checkpoint_dir={OUT}/ckpt_c4fv"]),
+    ("c4_fog_snr_sweep", ["eval-policy", "--config", "c4", "--snr-sweep",
+                          "--episodes", "256", "--use-ema",
+                          "--kinds", "awgn,rayleigh",
+                          "--set", "env.fog_range=20",
+                          "--set", f"train.checkpoint_dir={OUT}/ckpt_c4f",
+                          "--out", f"{OUT}/c4_fog_policy_curves.json"]),
+    ("c4_fog_v2x_snr_sweep", ["eval-policy", "--config", "c4",
+                              "--snr-sweep",
+                              "--episodes", "256", "--use-ema",
+                              "--kinds", "awgn,rayleigh",
+                              "--set", "env.fog_range=20",
+                              "--set", "env.v2x_rays=32",
+                              "--set",
+                              f"train.checkpoint_dir={OUT}/ckpt_c4fv",
+                              "--out",
+                              f"{OUT}/c4_fog_v2x_policy_curves.json"]),
     # c5 at the r2-bar budget (150 updates), both eval modes recorded in
     # ONE artifact (VERDICT r2 item 4 — the r2 json only held the 60-update
     # run and an rc-1 eval).
