@@ -159,6 +159,21 @@ class TestV2XTrunk:
         assert all(np.isfinite(float(v)) for v in
                    jax.tree_util.tree_leaves(m))
 
+    def test_ppo_update_with_v2x(self, key):
+        """The PPO driver shares SemanticPerception; one full update with
+        fog+V2X on tiny shapes must run with finite metrics."""
+        from multimodal_sc_tpu.rl import ppo as ppo_lib
+
+        cfg = _tiny_c4(
+            "env.fog_range=10", "env.v2x_rays=16", "rl.algo=ppo",
+            "train.task=ppo", "rl.rollout_length=4", "rl.num_envs=4",
+            "rl.num_minibatches=2", "rl.ppo_epochs=1")
+        state = ppo_lib.init(cfg, key)
+        step = ppo_lib.make_train_step(cfg)
+        state, metrics = step(state)
+        assert all(np.isfinite(float(v)) for v in
+                   jax.tree_util.tree_leaves(metrics))
+
     def test_v2x_snr_offset_changes_only_the_v2x_link(self, key):
         """With a huge negative offset the V2X tokens turn to noise: the
         Q-values move vs offset 0; with v2x off the offset is inert."""
