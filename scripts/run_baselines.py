@@ -326,6 +326,19 @@ RUNS = [
                               f"train.checkpoint_dir={OUT}/ckpt_c4fv",
                               "--out",
                               f"{OUT}/c4_fog_v2x_policy_curves.json"]),
+    # Deploy-time link-outage ablation: the SAME v2x-trained checkpoint
+    # evaluated with the RSU link crushed to noise
+    # (channel.v2x_snr_offset_db=-40 is receiver-transparent — no
+    # retraining, no param change). Isolates how much of the v2x arm's
+    # return rides on the live semantic link vs the fog-limited ego
+    # sensors; the honest failure mode the deployment playbook documents.
+    ("c4_fog_v2x_eval_nolink", ["eval-policy", "--config", "c4",
+                                "--episodes", "256", "--use-ema",
+                                "--set", "env.fog_range=20",
+                                "--set", "env.v2x_rays=32",
+                                "--set", "channel.v2x_snr_offset_db=-40",
+                                "--set",
+                                f"train.checkpoint_dir={OUT}/ckpt_c4fv"]),
     # c5 at the r2-bar budget (150 updates), both eval modes recorded in
     # ONE artifact (VERDICT r2 item 4 — the r2 json only held the 60-update
     # run and an rc-1 eval).
