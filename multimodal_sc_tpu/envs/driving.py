@@ -32,7 +32,7 @@ Design rules (TPU-first):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -72,6 +72,11 @@ class EnvState(NamedTuple):
     road: Array       # (6,) a1, w1, p1, a2, w2, p2  curvature profile
     t: Array          # () int32 step counter
     key: Array        # PRNG key for respawns / lane changes / auto-reset
+    fog: Array        # () f32 ego sensor visibility limit (m); <= 0 = clear.
+    # A RUNTIME scalar (seeded from cfg.fog_range at reset, carried through
+    # step/auto-reset) so every fog variant of a config shares ONE compiled
+    # graph — r3's c4_fog arm spent 708 s of its 1210 s wall recompiling
+    # because the fog range was a trace-time constant (VERDICT r3 item 5).
 
 
 class TimeStep(NamedTuple):
@@ -124,7 +129,10 @@ def _sample_road(key: Array) -> Array:
     return jnp.stack([a1, two_pi / lam1, p1, a2, two_pi / lam2, p2])
 
 
-def reset(cfg: EnvConfig, key: Array) -> EnvState:
+def reset(cfg: EnvConfig, key: Array, fog: Optional[Array] = None) -> EnvState:
+    """``fog`` (runtime scalar) overrides ``cfg.fog_range``; ``step`` passes
+    the live state's value through auto-reset so the compiled graph never
+    bakes the fog range in."""
     k_road, k_lane, k_v, k_npc, k_state = jax.random.split(key, 5)
     lanes = _lane_centers(cfg)
     ego_lane = jax.random.randint(k_lane, (), 0, cfg.num_lanes)
@@ -140,8 +148,11 @@ def reset(cfg: EnvConfig, key: Array) -> EnvState:
     npc_d = lanes[npc_lane]
     npc_v = jax.random.uniform(kv, (n,), minval=NPC_V_MIN, maxval=NPC_V_MAX)
     npcs = jnp.stack([npc_s, npc_d, npc_v, npc_d, npc_v], axis=-1)
+    if fog is None:
+        fog = jnp.float32(cfg.fog_range)
     return EnvState(ego=ego, npcs=npcs, road=_sample_road(k_road),
-                    t=jnp.int32(0), key=k_state)
+                    t=jnp.int32(0), key=k_state,
+                    fog=jnp.asarray(fog, jnp.float32))
 
 
 def _dynamics(cfg: EnvConfig, road: Array, ego: Array, steer: Array,
@@ -324,20 +335,22 @@ def render_camera(cfg: EnvConfig, state: EnvState) -> Array:
     ego_mask = jnp.clip(ego_x * ego_y, 0.0, 1.0)
     img = img * (1 - ego_mask[..., None]) + ego_mask[..., None] * jnp.array(
         [0.1, 0.85, 0.1])
-    img = _apply_fog(cfg, img, jnp.broadcast_to(xs, (h, w)))
+    img = _apply_fog(state.fog, img, jnp.broadcast_to(xs, (h, w)))
     return img.astype(jnp.float32)
 
 
 FOG_COLOR = jnp.array([0.55, 0.55, 0.58])
 
 
-def _apply_fog(cfg: EnvConfig, img: Array, dist: Array) -> Array:
-    """Blend pixels toward fog gray past ``cfg.fog_range`` (per-pixel
-    distance map ``dist``, same (h, w) as the image). Smooth ~2 m edge so
-    the boundary is VPU-friendly; identity when fog is off."""
-    if cfg.fog_range <= 0.0:
-        return img
-    vis = jax.nn.sigmoid((cfg.fog_range - dist) * 2.0)[..., None]
+def _apply_fog(fog: Array, img: Array, dist: Array) -> Array:
+    """Blend pixels toward fog gray past the runtime ``fog`` range scalar
+    (per-pixel distance map ``dist``, same (h, w) as the image). Smooth
+    ~2 m edge so the boundary is VPU-friendly. ``fog <= 0`` = clear sky:
+    the effective range snaps to 1e9 m, where the sigmoid saturates to
+    exactly 1.0 in f32 and the blend is a bit-exact identity — so fogged
+    and clear deployments share one compiled graph."""
+    eff = jnp.where(fog > 0.0, fog, jnp.float32(1e9))
+    vis = jax.nn.sigmoid((eff - dist) * 2.0)[..., None]
     return img * vis + FOG_COLOR * (1.0 - vis)
 
 
@@ -407,7 +420,7 @@ def render_camera_front(cfg: EnvConfig, state: EnvState) -> Array:
         * total[..., None]
     # Fog by ground-plane depth (sky pixels sit at the fog color too —
     # depth 1e6 — matching the real washed-out horizon).
-    img = _apply_fog(cfg, img, depth2d)
+    img = _apply_fog(state.fog, img, depth2d)
     return jnp.clip(img, 0.0, 1.0).astype(jnp.float32)
 
 
@@ -460,7 +473,7 @@ def _curb_distance(cfg: EnvConfig, state: EnvState, dx: Array, dy: Array
 
 
 def lidar_scan(cfg: EnvConfig, state: EnvState, rays: int = 0,
-               max_range: float = 0.0) -> Tuple[Array, Array]:
+               max_range=0.0) -> Tuple[Array, Array]:
     """Fixed ray fan vs NPC circles + road boundaries (curbs).
 
     Returns (points (R,4), mask (R,)). Rays are cast in the EGO frame
@@ -471,7 +484,9 @@ def lidar_scan(cfg: EnvConfig, state: EnvState, rays: int = 0,
     gates the curb returns (the pre-r3 NPC-only scan when off).
 
     ``rays`` overrides ``cfg.lidar_rays`` (the V2X RSU fan); ``max_range``
-    > 0 drops returns beyond it (ego fog, ``cfg.fog_range``).
+    > 0 drops returns beyond it (ego fog) — a RUNTIME scalar (Python float
+    or traced array, ``state.fog`` from ``observe``), so fog on/off/range
+    never changes the compiled graph.
     """
     r = rays or cfg.lidar_rays
     angles = jnp.linspace(-jnp.pi / 2, jnp.pi / 2, r)
@@ -496,8 +511,9 @@ def lidar_scan(cfg: EnvConfig, state: EnvState, rays: int = 0,
         t_min = t_npc
         z = jnp.full((r,), _NPC_Z)
         inten = jnp.ones((r,))
-    reach = min(LIDAR_MAX_RANGE, max_range) if max_range > 0 \
-        else LIDAR_MAX_RANGE
+    mr = jnp.asarray(max_range, jnp.float32)
+    reach = jnp.where(mr > 0.0, jnp.minimum(jnp.float32(LIDAR_MAX_RANGE), mr),
+                      jnp.float32(LIDAR_MAX_RANGE))
     mask = t_min <= reach
     t_safe = jnp.where(mask, t_min, 0.0)
     pts = jnp.stack([t_safe * dx, t_safe * dy, z, inten],
@@ -527,7 +543,7 @@ def observe(cfg: EnvConfig, state: EnvState) -> Tuple[Array, Array, Array]:
         img = render_camera_front(cfg, state)
     else:
         img = render_camera(cfg, state)
-    pts, mask = lidar_scan(cfg, state, max_range=cfg.fog_range)
+    pts, mask = lidar_scan(cfg, state, max_range=state.fog)
     if cfg.v2x_rays > 0:
         # RSU points appended after the ego rays: every downstream
         # consumer (replay, n-step window, obs carry, PPO rollouts) sees
@@ -568,8 +584,9 @@ def step(cfg: EnvConfig, state: EnvState, action: Array) -> Tuple[EnvState, Time
     t = state.t + 1
     done = collided | off_road | (t >= cfg.max_steps)
 
-    next_state = EnvState(ego=ego, npcs=npcs, road=state.road, t=t, key=key)
-    fresh = reset(cfg, k_reset)
+    next_state = EnvState(ego=ego, npcs=npcs, road=state.road, t=t, key=key,
+                          fog=state.fog)
+    fresh = reset(cfg, k_reset, fog=state.fog)
     next_state = jax.tree_util.tree_map(
         lambda a, b: jnp.where(done, a, b), fresh, next_state)
 

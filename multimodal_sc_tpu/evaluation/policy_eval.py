@@ -18,7 +18,7 @@ from multimodal_sc_tpu.envs import driving
 
 Array = jax.Array
 
-# act_fn(params, image, points, mask, key) -> int32 actions (B,)
+# act_fn(params, image, points, mask, key, v2x_off) -> int32 actions (B,)
 ActFn = Callable[..., Array]
 
 
@@ -26,17 +26,24 @@ def _rollout_returns(
     cfg: ExperimentConfig, params, act_fn: ActFn, key: Array, num_envs: int,
 ) -> Dict[str, float]:
     """Shared episode-return rollout: accumulate reward to each env's FIRST
-    done over cfg.env.max_steps, entirely on device."""
+    done over cfg.env.max_steps, entirely on device.
+
+    Deployment knobs that don't change the graph are RUNTIME arguments of
+    the jitted rollout — the params tree (so every checkpoint/field of a
+    config family reuses one compiled executable via the persistent cache),
+    the fog range (inside the env states), and the V2X link offset — per
+    VERDICT r3 item 5 (708 s recompiles per fog/V2X eval variant)."""
     k_env, k_run = jax.random.split(key)
     states = driving.reset_batch(cfg.env, k_env, num_envs)
+    v2x_off = jnp.float32(cfg.channel.v2x_snr_offset_db)
 
     @jax.jit
-    def rollout(states, key):
+    def rollout(params, states, key, v2x_off):
         def body(carry, _):
             states, key, ret, done_seen = carry
             key, k = jax.random.split(key)
             img, pts, mask = driving.observe_batch(cfg.env, states)
-            a = act_fn(params, img, pts, mask, k)
+            a = act_fn(params, img, pts, mask, k, v2x_off)
             states, ts = driving.step_batch(cfg.env, states, a)
             ret = ret + ts.reward * (1.0 - done_seen)
             done_seen = jnp.maximum(done_seen, ts.done.astype(jnp.float32))
@@ -47,7 +54,7 @@ def _rollout_returns(
             body, init, None, length=cfg.env.max_steps)
         return ret, done_seen, rewards
 
-    ret, done_seen, rewards = rollout(states, k_run)
+    ret, done_seen, rewards = rollout(params, states, k_run, v2x_off)
     return {
         "episode_return_mean": float(jnp.mean(ret)),
         "episode_return_std": float(jnp.std(ret)),
@@ -69,9 +76,10 @@ def evaluate_dqn(cfg: ExperimentConfig, params, key: Array,
     behavior. Both modes are recorded; the gate states which it uses."""
     from multimodal_sc_tpu.rl import dqn as dqn_lib
 
-    def act_fn(params, img, pts, mask, k):
+    def act_fn(params, img, pts, mask, k, v2x_off):
         return dqn_lib.act(cfg, params, img, pts, mask, k,
-                           epsilon=jnp.float32(epsilon))
+                           epsilon=jnp.float32(epsilon),
+                           v2x_offset_db=v2x_off)
 
     return _rollout_returns(cfg, params, act_fn, key, num_envs)
 
@@ -83,9 +91,10 @@ def evaluate_ppo(cfg: ExperimentConfig, params, key: Array,
 
     ac = ActorCritic(cfg)
 
-    def act_fn(params, img, pts, mask, k):
+    def act_fn(params, img, pts, mask, k, v2x_off):
         k_net, k_smp = jax.random.split(k)
-        logits, _ = ac.apply({"params": params}, img, pts, mask, k_net)
+        logits, _ = ac.apply({"params": params}, img, pts, mask, k_net,
+                             v2x_offset_db=v2x_off)
         if greedy:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return jax.random.categorical(k_smp, logits).astype(jnp.int32)

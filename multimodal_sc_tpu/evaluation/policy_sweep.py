@@ -33,19 +33,23 @@ DEFAULT_SNRS = (-5.0, 0.0, 5.0, 10.0, 15.0, 20.0, 25.0)
 
 def _sweep_one_kind(cfg: ExperimentConfig, params, act_fn, key: Array,
                     num_envs: int, snrs: Sequence[float]) -> List[Dict]:
-    """Rollout `num_envs` full episodes at each SNR; one compile for all."""
+    """Rollout `num_envs` full episodes at each SNR; one compile for all.
+    Params, fog range (in the env states), and the V2X link offset are
+    runtime args too, so checkpoints and fog/V2X deployment variants of a
+    config family share the executable (VERDICT r3 item 5)."""
     k_env, k_run = jax.random.split(key)
     states0 = driving.reset_batch(cfg.env, k_env, num_envs)
+    v2x_off = jnp.float32(cfg.channel.v2x_snr_offset_db)
 
     @jax.jit
-    def rollout(states, key, snr_db):
+    def rollout(params, states, key, snr_db, v2x_off):
         snr_vec = jnp.full((num_envs,), snr_db, jnp.float32)
 
         def body(carry, _):
             states, key, ret, done_seen = carry
             key, k = jax.random.split(key)
             img, pts, mask = driving.observe_batch(cfg.env, states)
-            a = act_fn(params, img, pts, mask, k, snr_vec)
+            a = act_fn(params, img, pts, mask, k, snr_vec, v2x_off)
             states, ts = driving.step_batch(cfg.env, states, a)
             ret = ret + ts.reward * (1.0 - done_seen)
             done_seen = jnp.maximum(done_seen, ts.done.astype(jnp.float32))
@@ -58,7 +62,8 @@ def _sweep_one_kind(cfg: ExperimentConfig, params, act_fn, key: Array,
 
     rows = []
     for snr in snrs:
-        ret, done_seen, rewards = rollout(states0, k_run, jnp.float32(snr))
+        ret, done_seen, rewards = rollout(params, states0, k_run,
+                                          jnp.float32(snr), v2x_off)
         rows.append({
             "snr_db": float(snr),
             "episode_return_mean": float(jnp.mean(ret)),
@@ -90,10 +95,11 @@ def policy_snr_sweep(
 
             ac = ActorCritic(cfg_k)
 
-            def act_fn(params, img, pts, mask, k, snr_vec, ac=ac):
+            def act_fn(params, img, pts, mask, k, snr_vec, v2x_off, ac=ac):
                 k_net, k_smp = jax.random.split(k)
                 logits, _ = ac.apply({"params": params}, img, pts, mask,
-                                     k_net, snr_db=snr_vec)
+                                     k_net, snr_db=snr_vec,
+                                     v2x_offset_db=v2x_off)
                 if sample:
                     return jax.random.categorical(k_smp, logits).astype(
                         jnp.int32)
@@ -104,11 +110,11 @@ def policy_snr_sweep(
             net = QNetwork(cfg_k)
             n_actions = cfg.rl.num_actions
 
-            def act_fn(params, img, pts, mask, k, snr_vec, net=net,
+            def act_fn(params, img, pts, mask, k, snr_vec, v2x_off, net=net,
                        n_actions=n_actions):
                 k_net, k_eps, k_rand = jax.random.split(k, 3)
                 q = net.apply({"params": params}, img, pts, mask, k_net,
-                              snr_db=snr_vec)
+                              snr_db=snr_vec, v2x_offset_db=v2x_off)
                 greedy = jnp.argmax(q, axis=-1)
                 rand = jax.random.randint(k_rand, greedy.shape, 0, n_actions)
                 explore = jax.random.uniform(k_eps, greedy.shape) < epsilon

@@ -168,14 +168,15 @@ def init(cfg: ExperimentConfig, key: Array, num_envs: int) -> DQNState:
 
 
 def act(cfg: ExperimentConfig, params, image, points, mask, key,
-        epsilon: Array = 0.0, snr_db=None) -> Array:
+        epsilon: Array = 0.0, snr_db=None, v2x_offset_db=None) -> Array:
     """Eps-greedy action for a batch of observations (public API verb).
 
     ``snr_db`` (optional (B,)): per-env deployed channel SNR — defaults
-    to the config constant inside the trunk."""
+    to the config constant inside the trunk. ``v2x_offset_db`` (optional
+    scalar): runtime RSU-link SNR offset, same default."""
     k_net, k_eps, k_rand = jax.random.split(key, 3)
     q = QNetwork(cfg).apply({"params": params}, image, points, mask, k_net,
-                            snr_db=snr_db)
+                            snr_db=snr_db, v2x_offset_db=v2x_offset_db)
     greedy = jnp.argmax(q, axis=-1)
     rand = jax.random.randint(k_rand, greedy.shape, 0, cfg.rl.num_actions)
     explore = jax.random.uniform(k_eps, greedy.shape) < epsilon
@@ -211,8 +212,19 @@ def _td_loss(params, target_params, batch: Transition, key: Array,
     # optimized in expectation over the SNR range.
     snr = _sample_snr(cfg, jax.random.fold_in(key, 0x57A2),
                       batch.image.shape[0])
-    q = net.apply({"params": params}, batch.image, batch.points, batch.mask,
-                  k1, snr_db=snr)
+    vq_loss = None
+    if cfg.camera.arch == "vq":
+        # The perception trunk sows its VQ codebook+commitment loss
+        # (rl/perception.py arch="vq"); TD gradients ride the straight-
+        # through path and never move the codebook, so the learner adds
+        # it explicitly (rl.vq_loss_coef).
+        q, col = net.apply(
+            {"params": params}, batch.image, batch.points, batch.mask,
+            k1, snr_db=snr, mutable=["intermediates"])
+        vq_loss = col["intermediates"]["perception"]["vq_loss"][0]
+    else:
+        q = net.apply({"params": params}, batch.image, batch.points,
+                      batch.mask, k1, snr_db=snr)
     q_taken = jnp.take_along_axis(q, batch.action[:, None], axis=-1)[:, 0]
 
     q_next_t = net.apply({"params": target_params}, batch.next_image,
@@ -231,7 +243,10 @@ def _td_loss(params, target_params, batch: Transition, key: Array,
     # (rl/nstep.py); n_step=1 is vanilla TD.
     gamma_n = cfg.rl.gamma ** cfg.rl.n_step
     target = batch.reward + gamma_n * nonterm * jax.lax.stop_gradient(q_boot)
-    return jnp.mean(optax.huber_loss(q_taken, target))
+    loss = jnp.mean(optax.huber_loss(q_taken, target))
+    if vq_loss is not None:
+        loss = loss + cfg.rl.vq_loss_coef * vq_loss
+    return loss
 
 
 def shard_state(state: DQNState, mesh, tp: bool = True) -> DQNState:

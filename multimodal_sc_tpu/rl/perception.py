@@ -52,6 +52,33 @@ class SemanticPerception(nn.Module):
                 image_hw=cam.image_hw, patch=cam.patch, dim=cam.dim,
                 depth=max(1, cam.depth // 2), heads=cam.heads,
                 c_sym=cam.c_sym, use_pallas=attn_pallas, dtype=dtype)
+        elif cam.arch == "vq":
+            # Digital semantic deployment on the control path (VERDICT r3
+            # item 2): the camera branch quantizes against a learned
+            # codebook and ships INTEGER indices over the QPSK digital
+            # link (codec/semantic_vq.py transmit_indices — same FEC
+            # machinery as the c1_vq reconstruction codec, parameter-
+            # transparently codable at deploy time). Tokens, not pixels,
+            # feed the fusion transformer.
+            from multimodal_sc_tpu.channel.digital import index_bits
+            from multimodal_sc_tpu.codec.semantic_vq import (
+                VQEncoderTokens,
+                VQTokensCamera,
+            )
+
+            n_bits = index_bits(cam.vq_codes)   # validates power of 4
+            n_tok = (cam.image_hw[0] // 4) * (cam.image_hw[1] // 4)
+            if self.cfg.channel.fec != "none" and (n_tok * n_bits) % 8 != 0:
+                raise ValueError(
+                    "channel.fec needs n_tokens * bits_per_index divisible "
+                    f"by 8, got {n_tok} * {n_bits}")
+            self.cam_vq = VQEncoderTokens(
+                features=cam.features, vq_dim=cam.vq_dim,
+                vq_codes=cam.vq_codes, vq_beta=cam.vq_beta,
+                use_pallas=self.cfg.use_pallas, dtype=dtype)
+            self.cam_tok = VQTokensCamera(
+                dim=fus.dim, vq_dim=cam.vq_dim, image_hw=cam.image_hw,
+                dtype=dtype)
         else:
             self.cam_enc = CameraEncoderCNN(
                 features=cam.features, c_sym=cam.c_sym,
@@ -95,10 +122,18 @@ class SemanticPerception(nn.Module):
         mask: Array,             # (B, N)
         key: Array,
         snr_db: Optional[Array] = None,
+        v2x_offset_db: Optional[Array] = None,
     ) -> Array:
+        """``v2x_offset_db`` (scalar): RSU-link SNR offset relative to the
+        deployed ``snr_db``. None falls back to the config constant
+        (training); the eval drivers pass it as a RUNTIME scalar so
+        link-outage ablations (`channel.v2x_snr_offset_db=-40`) reuse the
+        healthy-link compiled graph (VERDICT r3 item 5)."""
         ch = self.cfg.channel
         if snr_db is None:
             snr_db = jnp.full((image.shape[0],), ch.snr_db, jnp.float32)
+        if v2x_offset_db is None:
+            v2x_offset_db = jnp.float32(ch.v2x_snr_offset_db)
         if self.cfg.rl.ablate_lidar:
             # Camera-only ablation arm (VERDICT r2 item 5): identical
             # architecture/params, LiDAR branch fed zeros.
@@ -122,10 +157,30 @@ class SemanticPerception(nn.Module):
         snr_in = snr_db if cond else None
 
         # Camera branch: encode -> channel -> token decode.
-        z_cam = self.cam_enc(image, snr_in)
-        z_cam_hat = channel_op(z_cam, snr_db, ch.kind, k_cam,
-                               **channel_kwargs(ch))
-        cam_tokens = self.cam_tok(z_cam_hat, snr_in)
+        if self.cfg.camera.arch == "vq":
+            # Digital link: indices over QPSK (+ optional FEC); the token
+            # decoder sees the RECEIVED codes while gradients ride the
+            # clean straight-through path (noise-aware training, exactly
+            # the c1_vq recipe). The VQ codebook/commitment loss is sown
+            # as an intermediate — the RL learners add it to their loss
+            # (rl.vq_loss_coef), since TD/PPO gradients alone never move
+            # the codebook.
+            from multimodal_sc_tpu.codec.semantic_vq import transmit_indices
+
+            idx_tx, vq_loss, z_ste = self.cam_vq(image)
+            idx_rx = transmit_indices(ch, idx_tx, self.cfg.camera.vq_codes,
+                                      snr_db, k_cam)
+            z_rx = z_ste + jax.lax.stop_gradient(
+                self.cam_vq.codebook[idx_rx] - z_ste)
+            cam_tokens = self.cam_tok(z_rx)
+            self.sow("intermediates", "vq_loss", vq_loss)
+            self.sow("intermediates", "index_error_rate",
+                     jnp.mean((idx_rx != idx_tx).astype(jnp.float32)))
+        else:
+            z_cam = self.cam_enc(image, snr_in)
+            z_cam_hat = channel_op(z_cam, snr_db, ch.kind, k_cam,
+                                   **channel_kwargs(ch))
+            cam_tokens = self.cam_tok(z_cam_hat, snr_in)
 
         # LiDAR branch: pillars -> BEV -> symbols -> channel -> tokens.
         lid = self.cfg.lidar
@@ -148,7 +203,7 @@ class SemanticPerception(nn.Module):
             # stream tagged by the modality embedding — the fusion
             # transformer needs no structural change.
             v2x_tokens = lidar_branch(
-                pts_v2x, mask_v2x, snr_db + ch.v2x_snr_offset_db,
+                pts_v2x, mask_v2x, snr_db + v2x_offset_db,
                 jax.random.fold_in(k_lid, 0xB2C))
             lid_tokens = jnp.concatenate(
                 [lid_tokens,
@@ -169,8 +224,9 @@ class QNetwork(nn.Module):
         self.h2 = nn.Dense(256)
         self.q = nn.Dense(self.cfg.rl.num_actions)
 
-    def __call__(self, image, points, mask, key, snr_db=None) -> Array:
-        s = self.perception(image, points, mask, key, snr_db)
+    def __call__(self, image, points, mask, key, snr_db=None,
+                 v2x_offset_db=None) -> Array:
+        s = self.perception(image, points, mask, key, snr_db, v2x_offset_db)
         h = nn.relu(self.h1(s))
         h = nn.relu(self.h2(h))
         return self.q(h)
@@ -188,9 +244,9 @@ class ActorCritic(nn.Module):
         self.v_h = nn.Dense(256)
         self.v = nn.Dense(1)
 
-    def __call__(self, image, points, mask, key, snr_db=None
-                 ) -> Tuple[Array, Array]:
-        s = self.perception(image, points, mask, key, snr_db)
+    def __call__(self, image, points, mask, key, snr_db=None,
+                 v2x_offset_db=None) -> Tuple[Array, Array]:
+        s = self.perception(image, points, mask, key, snr_db, v2x_offset_db)
         logits = self.pi(nn.tanh(self.pi_h(s)))
         value = self.v(nn.tanh(self.v_h(s)))[..., 0]
         return logits, value

@@ -51,8 +51,11 @@ class TestFog:
             atol=1e-3)
         bottom = np.asarray(img[-1])
         assert np.abs(bottom - np.asarray(driving.FOG_COLOR)).max() > 0.15
-        # Fog off: unchanged rendering far ahead (not gray).
-        clear = driving.render_camera(_env_cfg(), state)
+        # Fog off: unchanged rendering far ahead (not gray). Fog is a
+        # RUNTIME scalar carried in the state (EnvState.fog), so clearing
+        # it is a state edit, not a re-trace.
+        clear = driving.render_camera(
+            cfg, state._replace(fog=jnp.float32(0.0)))
         assert np.abs(np.asarray(clear[0])
                       - np.asarray(driving.FOG_COLOR)).max() > 0.1
 
@@ -65,6 +68,31 @@ class TestFog:
         np.testing.assert_allclose(
             top, np.broadcast_to(np.asarray(driving.FOG_COLOR), top.shape),
             atol=1e-3)
+
+    def test_fog_is_runtime_not_retraced(self):
+        """Fog on/off/range changes reuse ONE compiled graph (VERDICT r3
+        item 5: the c4_fog arm burned 708 s recompiling because fog was a
+        trace-time constant)."""
+        cfg = _env_cfg()
+        state = _state_with_npc_ahead(cfg, 15.0)
+
+        @jax.jit
+        def render(s):
+            return driving.render_camera(cfg, s)
+
+        clear = render(state)
+        foggy = render(state._replace(fog=jnp.float32(10.0)))
+        assert render._cache_size() == 1
+        assert np.abs(np.asarray(clear) - np.asarray(foggy)).max() > 0.05
+
+        @jax.jit
+        def scan(s):
+            return driving.lidar_scan(cfg, s, max_range=s.fog)
+
+        _, m_clear = scan(state)
+        _, m_fog = scan(state._replace(fog=jnp.float32(5.0)))
+        assert scan._cache_size() == 1
+        assert int(jnp.sum(m_clear)) > int(jnp.sum(m_fog))
 
     def test_fog_zero_is_identity(self):
         cfg = _env_cfg()
