@@ -280,6 +280,11 @@ def main(argv=None) -> int:
     from multimodal_sc_tpu.config.presets import get_preset
 
     cfg = get_preset(args.config).override_str(args.overrides)
+    # Cross-field validation on the FINAL config (silently-ignored flag
+    # combos are hard errors — VERDICT r3 item 6). `show` skips it so
+    # inspecting an invalid combo is still possible.
+    if args.cmd != "show":
+        cfg.validate()
 
     if args.cmd == "show":
         print(cfg.to_json())
@@ -464,16 +469,27 @@ def main(argv=None) -> int:
                 cam_model, state.params["camera"], images, key,
                 kinds=kinds,
                 **channel_kwargs(cfg.channel))
-            lid_curves = snr_sweep.sweep_lidar(
-                lid_model, state.params["lidar"], pts, mask, target,
-                jax.random.fold_in(key, 0x11DA), kinds=kinds,
-                **channel_kwargs(cfg.channel))
+            if cfg.lidar.arch == "vq":
+                # Digital LiDAR codec: the QPSK link (+ optional FEC)
+                # rides inside the model — its own sweep.
+                lid_curves = snr_sweep.sweep_lidar_vq(
+                    cfg, state.params["lidar"], pts, mask, target,
+                    jax.random.fold_in(key, 0x11DA), kinds=kinds)
+            else:
+                lid_curves = snr_sweep.sweep_lidar(
+                    lid_model, state.params["lidar"], pts, mask, target,
+                    jax.random.fold_in(key, 0x11DA), kinds=kinds,
+                    **channel_kwargs(cfg.channel))
             print("camera PSNR:")
             print(snr_sweep.format_table(cam_curves))
             print("camera SSIM:")
             print(snr_sweep.format_table(cam_curves, metric="ssim"))
             print("lidar BEV mIoU:")
             print(snr_sweep.format_table(lid_curves, metric="miou"))
+            if cfg.lidar.arch == "vq":
+                print("lidar index error rate:")
+                print(snr_sweep.format_table(lid_curves,
+                                             metric="index_err"))
             if args.out:
                 snr_sweep.save_curves(
                     {"camera": cam_curves, "lidar": lid_curves}, args.out)

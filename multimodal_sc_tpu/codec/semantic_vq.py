@@ -132,6 +132,39 @@ class VectorQuantizer(nn.Module):
         return vector_quantize(z_e, cb, self.beta)
 
 
+def transmit_indices(ch, idx_tx: Array, codes: int, snr_db, key: Array,
+                     token_weights: Array = None) -> Array:
+    """The digital link: (B, N) indices -> bits [-> Hamming(7,4)] -> QPSK
+    -> ``ch.kind`` channel -> (hard or soft-ML) decision -> received
+    indices (B, N). Shared by the reconstruction codec
+    (:class:`VQCameraJSCC`) and the RL perception trunk
+    (``rl/perception.py`` arch="vq") so FEC deploys identically on both.
+
+    ``token_weights``: optional (B, N) per-token symbol amplitude
+    multiplier (semantic UEP weights and/or a kept-token 0/1 mask),
+    repeated over each token's contiguous symbols. QPSK is exactly unit
+    power, so the channel is applied unnormalized."""
+    fec = ch.fec
+    if fec in ("hamming74", "hamming74_soft"):
+        sym = bits_to_qpsk(hamming74_encode(bits_from_indices(idx_tx, codes)))
+    else:
+        sym = indices_to_qpsk(idx_tx, codes)
+    if token_weights is not None:
+        spt = sym.shape[1] // idx_tx.shape[1]
+        sym = sym * jnp.repeat(token_weights, spt, axis=1)[..., None]
+    ch_kw = channel_kwargs(ch)
+    ch_kw["normalize"] = False            # QPSK is exactly unit power
+    ch_kw["modulation"] = 0               # mapping already digital
+    y = channel_op(sym, snr_db, ch.kind, key, **ch_kw)
+    if fec == "hamming74":
+        return indices_from_bits(hamming74_decode(qpsk_to_bits(y)), codes)
+    if fec == "hamming74_soft":
+        # ML correlation decode on the raw received components.
+        return indices_from_bits(
+            hamming74_decode_soft(qpsk_soft_bits(y)), codes)
+    return qpsk_to_indices(y, codes, idx_tx.shape[1])
+
+
 class VQCameraJSCC(nn.Module):
     """Camera -> semantic tokens -> QPSK digital channel -> reconstruction.
 
@@ -426,15 +459,8 @@ class VQCameraJSCC(nn.Module):
             # kept = top-m tokens by score, static shapes throughout.
             kept = topk_mask(scores, m)                    # (B, N) bool
         codes = cfg.camera.vq_codes
-        fec = cfg.channel.fec
-        if fec in ("hamming74", "hamming74_soft"):
-            # Coded digital path (channel/fec.py): indices -> bits ->
-            # Hamming(7,4) -> QPSK; 7/4x the symbols. Parameter-
-            # transparent — the same checkpoint deploys coded or uncoded.
-            sym = bits_to_qpsk(hamming74_encode(
-                bits_from_indices(idx_tx, codes)))
-        else:
-            sym = indices_to_qpsk(idx_tx, codes)
+        w_tok = None
+        token_weights = None
         if cfg.channel.uep_alpha > 0:
             # Semantic UEP: redistribute power toward high-damage tokens
             # at exactly unit mean symbol power (token weight repeats
@@ -443,27 +469,14 @@ class VQCameraJSCC(nn.Module):
             # and the soft-FEC metric scales uniformly within a block.
             w_tok = self.uep_weights(idx_tx, snr_db,
                                      jax.random.fold_in(key, 77))
-            spt = sym.shape[1] // n_tok
-            sym = sym * jnp.repeat(w_tok, spt, axis=1)[..., None]
+            token_weights = w_tok
         if kept is not None:
             # Dropped tokens transmit nothing — their symbols carry zero
-            # power (bandwidth elasticity, not a power trade).
-            spt = sym.shape[1] // n_tok
-            sym = sym * jnp.repeat(kept.astype(sym.dtype), spt,
-                                   axis=1)[..., None]
-        ch_kw = channel_kwargs(cfg.channel)
-        ch_kw["normalize"] = False            # QPSK is exactly unit power
-        ch_kw["modulation"] = 0               # mapping already digital
-        y = channel_op(sym, snr_db, cfg.channel.kind, key, **ch_kw)
-        if fec == "hamming74":
-            idx_rx = indices_from_bits(
-                hamming74_decode(qpsk_to_bits(y)), codes)
-        elif fec == "hamming74_soft":
-            # ML correlation decode on the raw received components.
-            idx_rx = indices_from_bits(
-                hamming74_decode_soft(qpsk_soft_bits(y)), codes)
-        else:
-            idx_rx = qpsk_to_indices(y, codes, idx_tx.shape[1])
+            # power (bandwidth elasticity, not a power trade). UEP with
+            # pruning is rejected at construction, so no weight product.
+            token_weights = kept.astype(jnp.float32)
+        idx_rx = transmit_indices(cfg.channel, idx_tx, codes, snr_db, key,
+                                  token_weights=token_weights)
         err = (idx_rx != idx_tx).astype(jnp.float32)
         # Received codes on the forward path, clean STE on the backward.
         z_rx = z_ste + jax.lax.stop_gradient(self.codebook[idx_rx] - z_ste)
@@ -505,6 +518,90 @@ class VQCameraJSCC(nn.Module):
     @property
     def bits_per_image(self) -> int:
         return self.n_tokens * index_bits(self.cfg.camera.vq_codes)
+
+
+class VQEncoderTokens(nn.Module):
+    """Encoder half of :class:`VQCameraJSCC` as a standalone module — the
+    deployed VQ transmitter for the RL perception trunk
+    (``rl/perception.py`` arch="vq"). Child param names (``enc{i}``,
+    ``to_code``, ``codebook``) deliberately mirror VQCameraJSCC's
+    top-level tree so a c1_vq reconstruction checkpoint warm-starts this
+    submodule subtree-by-name (``rl/warmstart.py``)."""
+
+    features: tuple
+    vq_dim: int
+    vq_codes: int
+    vq_beta: float = 0.25
+    use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        strides = (2, 2, 1, 1)
+        self.enc_blocks = [
+            FusedConvPReLU(f, 5, stride=s, use_pallas=self.use_pallas,
+                           dtype=self.dtype, name=f"enc{i}")
+            for i, (f, s) in enumerate(zip(self.features, strides))]
+        self.to_code = nn.Conv(self.vq_dim, (1, 1), dtype=self.dtype,
+                               name="to_code")
+        self.codebook = self.param(
+            "codebook",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (self.vq_codes, self.vq_dim))
+
+    def encode_features(self, img: Array) -> Array:
+        x = img.astype(self.dtype)
+        for blk in self.enc_blocks:
+            x = blk(x)
+        return self.to_code(x).astype(jnp.float32)
+
+    def __call__(self, img: Array):
+        """Image -> (indices (B, N) int32, vq_loss, z_ste (B, N, D))."""
+        z_e = self.encode_features(img)                    # (B, h, w, D)
+        z_ste, idx, vq_loss = vector_quantize(
+            z_e, self.codebook, self.vq_beta)
+        b, h, w, _ = z_e.shape
+        return (idx.reshape(b, h * w), vq_loss,
+                z_ste.reshape(b, h * w, self.vq_dim))
+
+
+class VQTokensCamera(nn.Module):
+    """Received code vectors (B, N, vq_dim) -> fusion tokens (B, N, dim).
+
+    The receiver half of the RL VQ camera branch: one 5x5 conv + PReLU on
+    the token grid (mirrors ``CameraTokensCNN``'s front-half-of-decoder
+    shape), so the fusion transformer sees the same token layout as the
+    analog branches."""
+
+    dim: int
+    vq_dim: int
+    image_hw: tuple = (32, 32)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: Array) -> Array:
+        b = z.shape[0]
+        h, w = self.image_hw[0] // 4, self.image_hw[1] // 4
+        x = z.reshape(b, h, w, self.vq_dim).astype(self.dtype)
+        x = nn.Conv(self.dim, (5, 5), padding="SAME", dtype=self.dtype,
+                    name="conv_in")(x)
+        x = PReLU(name="prelu_in")(x)
+        return x.reshape(b, h * w, self.dim).astype(jnp.float32)
+
+
+def seed_codebook(params, z: Array, key: Array):
+    """Replace ``params['codebook']`` rows with a random sample of actual
+    encoder outputs ``z`` (+ small jitter so duplicated rows separate).
+    Shared by :func:`init_codebook_from_batch` (reconstruction driver) and
+    the RL drivers' cold-start seeding (``train/dqn.py``/``train/ppo.py``
+    with camera.arch="vq")."""
+    flat = z.reshape(-1, z.shape[-1])
+    k = params["codebook"].shape[0]
+    rows = jax.random.choice(key, flat, (k,), replace=flat.shape[0] < k)
+    rows = rows + 0.01 * jax.random.normal(
+        jax.random.fold_in(key, 1), rows.shape)
+    new = dict(params)
+    new["codebook"] = rows
+    return new
 
 
 def init_codebook_from_batch(model: VQCameraJSCC, params, img: Array,

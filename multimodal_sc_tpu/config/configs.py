@@ -171,6 +171,15 @@ class CameraCodecConfig:
 @dataclass(frozen=True)
 class LidarCodecConfig:
     enabled: bool = False
+    arch: str = "analog"          # analog (continuous JSCC symbols) | vq
+    # (discrete codebook indices over the QPSK digital link — the LiDAR
+    # counterpart of camera.arch="vq", codec/lidar_bev.py LidarBEVVQCodec;
+    # r4, VERDICT r3 item 4). At vq_codes=256 on a 32x32 BEV grid the
+    # digital payload (1024 tokens x 8 bits -> 4096 QPSK symbols) exactly
+    # matches the analog bandwidth (32*32*c_sym=4 = 4096 symbols).
+    vq_codes: int = 256           # codebook size (power of 4)
+    vq_dim: int = 32              # code dimension
+    vq_beta: float = 0.25         # commitment weight
     max_points: int = 1024
     max_pillars: int = 256
     points_per_pillar: int = 16
@@ -182,6 +191,11 @@ class LidarCodecConfig:
     c_sym: int = 4
     x_range: Tuple[float, float] = (0.0, 48.0)
     y_range: Tuple[float, float] = (-12.0, 12.0)
+
+    def __post_init__(self):
+        if self.arch not in ("analog", "vq"):
+            raise ValueError(
+                f"lidar.arch must be 'analog' or 'vq', got {self.arch!r}")
 
 
 @dataclass(frozen=True)
@@ -254,6 +268,11 @@ class RLConfig:
     eps_decay_steps: int = 20000
     double_dqn: bool = True
     n_step: int = 1               # n-step returns (rl/nstep.py); 1 = vanilla
+    vq_loss_coef: float = 1.0     # weight of the VQ codebook+commitment
+    # loss added to the TD/PPO loss when camera.arch == "vq" (the RL
+    # objective's gradients ride the straight-through path and never move
+    # the codebook; this term is what trains it — mirrors the jscc driver
+    # adding aux["vq_loss"] to the MSE)
     ablate_lidar: bool = False    # zero the LiDAR input in the perception
     # trunk (points and mask) — the camera-only ablation arm; same params/
     # init as the full model so eval returns are directly comparable
@@ -351,6 +370,73 @@ class ExperimentConfig:
     # the packed kernel wins isolated but the pallas_call boundary breaks
     # XLA fusion in the small fused production graphs (r2 A/B: act 0.90x,
     # act+learn 0.95x, ppo 0.99x, c3 vit ~1.0x — BASELINE.md).
+
+    def validate(self) -> "ExperimentConfig":
+        """Cross-field validation — every accepted-but-silently-ignored
+        flag combination is a hard error (VERDICT r3 item 6: silent config
+        degradation is the same failure class as the r3 missing-checkpoint
+        silent fallback). Lives outside ``__post_init__`` because CLI
+        overrides apply one assignment at a time and intermediate states
+        may legitimately be inconsistent; the CLI and train drivers call
+        this once on the final config. Returns self for chaining."""
+        rl_task = self.train.task in ("dqn", "ppo")
+        cam = self.camera
+        ch = self.channel
+        if rl_task:
+            if cam.snr_conditioning and cam.arch != "cnn":
+                raise ValueError(
+                    "camera.snr_conditioning on the RL path requires "
+                    f"camera.arch='cnn' (got {cam.arch!r}) — the RL ViT "
+                    "branch is built unconditioned and the VQ digital "
+                    "branch has no FiLM; the flag would be silently "
+                    "ignored (rl/perception.py)")
+            if cam.adaptive_rate:
+                raise ValueError(
+                    "camera.adaptive_rate is a reconstruction-codec "
+                    "feature (c1/c2); the RL perception trunk has no rate "
+                    "conditioning and would silently ignore it")
+            if cam.vq_prune:
+                raise ValueError(
+                    "camera.vq_prune (semantic token pruning) is not "
+                    "supported on the RL path yet — the trunk transmits "
+                    "every token")
+            if ch.uep_alpha > 0:
+                raise ValueError(
+                    "channel.uep_alpha (semantic UEP) is not supported on "
+                    "the RL path: the damage estimator probes the IMAGE "
+                    "decoder's VJP, which is not part of the RL graph")
+        if cam.snr_conditioning and cam.arch == "vq":
+            raise ValueError(
+                "camera.snr_conditioning has no effect on the VQ codec "
+                "(discrete indices carry no FiLM path); unset it or use "
+                "arch='cnn'/'vit'")
+        if ch.token_keep < 1.0 and not cam.vq_prune:
+            raise ValueError(
+                "channel.token_keep < 1 requires a token-pruned VQ codec "
+                "(camera.vq_prune=true); otherwise every token is "
+                "transmitted and the flag is silently ignored")
+        if ch.uep_alpha > 0 and cam.arch != "vq":
+            raise ValueError(
+                "channel.uep_alpha requires the digital VQ codec "
+                f"(camera.arch='vq', got {cam.arch!r}); the analog paths "
+                "would silently ignore it")
+        if rl_task and self.lidar.arch == "vq":
+            raise ValueError(
+                "lidar.arch='vq' is a reconstruction-codec mode (c3); the "
+                "RL perception trunk builds its own analog LiDAR branch "
+                "and would silently ignore it")
+        if ch.fec != "none" and cam.arch != "vq" \
+                and self.lidar.arch != "vq":
+            raise ValueError(
+                "channel.fec requires a digital codec (camera.arch='vq' "
+                "or lidar.arch='vq'); the analog JSCC paths transmit "
+                "continuous symbols and would silently ignore FEC")
+        if ch.modulation > 0 and cam.arch == "vq":
+            raise ValueError(
+                "channel.modulation (analog M-QAM STE) conflicts with "
+                "camera.arch='vq' — the VQ codec maps its own QPSK "
+                "constellation and would silently ignore the flag")
+        return self
 
     def override(self, **dotted: Any) -> "ExperimentConfig":
         cfg = self

@@ -154,9 +154,20 @@ def _ppo_loss(params, batch, cfg: ExperimentConfig, key: Array,
         # Differentiated context — XLA twin on the same packed param tree
         # (see rl/dqn.py:_td_loss; kernel stays on the fwd-only rollout).
         cfg = cfg.override(mha_block_kernel=False)
-    logits, value = ActorCritic(cfg).apply(
-        {"params": params}, dequantize_frame(batch["image"]),
-        batch["points"], batch["mask"], key, snr_db=batch["snr"])
+    vq_loss = None
+    if cfg.camera.arch == "vq":
+        # VQ codebook+commitment loss sown by the trunk (see
+        # rl/dqn.py:_td_loss — the PPO surrogate's STE gradients never
+        # move the codebook either).
+        (logits, value), col = ActorCritic(cfg).apply(
+            {"params": params}, dequantize_frame(batch["image"]),
+            batch["points"], batch["mask"], key, snr_db=batch["snr"],
+            mutable=["intermediates"])
+        vq_loss = col["intermediates"]["perception"]["vq_loss"][0]
+    else:
+        logits, value = ActorCritic(cfg).apply(
+            {"params": params}, dequantize_frame(batch["image"]),
+            batch["points"], batch["mask"], key, snr_db=batch["snr"])
     logp_all = jax.nn.log_softmax(logits)
     logp = jnp.take_along_axis(logp_all, batch["action"][:, None],
                                axis=-1)[:, 0]
@@ -169,6 +180,8 @@ def _ppo_loss(params, batch, cfg: ExperimentConfig, key: Array,
     entropy = -jnp.mean(jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1))
     total = (pg_loss + cfg.rl.value_coef * v_loss
              - entropy_coef * entropy)
+    if vq_loss is not None:
+        total = total + cfg.rl.vq_loss_coef * vq_loss
     return total, {"pg_loss": pg_loss, "v_loss": v_loss, "entropy": entropy}
 
 

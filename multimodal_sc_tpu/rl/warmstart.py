@@ -75,6 +75,8 @@ def load_jscc_into_perception(cfg: ExperimentConfig, params: Any,
     lid_src = None
     if "encoder" in src:                       # CameraJSCC TrainState (c1/c2)
         cam_src = src
+    if "to_code" in src and "codebook" in src:  # VQCameraJSCC (c1 arch=vq)
+        cam_src = src
     if "camera" in src:                        # LateFusionJSCC (c3)
         cam_src = src["camera"]
         lid_src = src.get("lidar")
@@ -82,6 +84,15 @@ def load_jscc_into_perception(cfg: ExperimentConfig, params: Any,
     assignments: List[Tuple[str, Any]] = []
     if cam_src is not None and "encoder" in cam_src:
         assignments.append(("cam_enc", cam_src["encoder"]))
+    if (cam_src is not None and "codebook" in cam_src
+            and "to_code" in cam_src and "cam_vq" in per):
+        # VQCameraJSCC checkpoint (c1 arch="vq") -> the RL trunk's
+        # VQEncoderTokens submodule: its child names (enc{i}, to_code,
+        # codebook) mirror the codec's top-level tree by design
+        # (codec/semantic_vq.py VQEncoderTokens docstring), so the
+        # deployed transmitter firmware is copied subtree-by-name.
+        sub = {k: cam_src[k] for k in per["cam_vq"] if k in cam_src}
+        assignments.append(("cam_vq", sub))
     if lid_src is not None:
         assignments += [
             ("pfn", lid_src.get("pfn")),
@@ -111,6 +122,49 @@ def load_jscc_into_perception(cfg: ExperimentConfig, params: Any,
             f"warm-start skipped {skipped} (shape/arch mismatch with "
             f"{ckpt_dir!r}); loaded {loaded}", stacklevel=2)
 
+    new_params = dict(params)
+    new_params["perception"] = per
+    return new_params
+
+
+def seed_vq_codebook_params(cfg: ExperimentConfig, params: Any,
+                            key: Array = None) -> Any:
+    """Data-dependent codebook seeding for a COLD RL run with
+    camera.arch="vq" (``params`` is the full DQN/PPO param tree with a
+    ``perception.cam_vq`` subtree): replace the codebook rows with a
+    sample of the fresh encoder's outputs on freshly rendered env
+    observations. Same fix as codec/semantic_vq.py
+    init_codebook_from_batch — the default init collapses into one tight
+    cluster, making codes interchangeable and channel errors meaningless.
+    Called by the train drivers on fresh runs only (never on resume or
+    after a warm-start that brought its own codebook)."""
+    import jax.numpy as jnp
+
+    from multimodal_sc_tpu.codec.semantic_vq import (
+        VQEncoderTokens,
+        seed_codebook,
+    )
+    from multimodal_sc_tpu.envs import driving
+
+    if key is None:
+        key = jax.random.key(cfg.train.seed)
+    key = jax.random.fold_in(key, 0xC0DE)
+    states = driving.reset_batch(cfg.env, key, 64)
+    img, _, _ = driving.observe_batch(cfg.env, states)
+    cam = cfg.camera
+    enc = VQEncoderTokens(
+        features=cam.features, vq_dim=cam.vq_dim, vq_codes=cam.vq_codes,
+        vq_beta=cam.vq_beta, use_pallas=cfg.use_pallas,
+        dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32)
+    per = dict(params["perception"])
+    sub = dict(per["cam_vq"])
+    z = enc.apply({"params": sub}, img, method="encode_features")
+    old = sub["codebook"]
+    sub = seed_codebook(sub, z, jax.random.fold_in(key, 1))
+    if hasattr(old, "sharding"):
+        # Preserve the leaf's placement (sharded/multi-device states).
+        sub["codebook"] = jax.device_put(sub["codebook"], old.sharding)
+    per["cam_vq"] = sub
     new_params = dict(params)
     new_params["perception"] = per
     return new_params

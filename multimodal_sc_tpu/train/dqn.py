@@ -106,6 +106,18 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
             params=params,
             target_params=jax.tree_util.tree_map(jax.numpy.copy, params),
             ema_params=jax.tree_util.tree_map(jax.numpy.copy, params))
+    elif cfg.camera.arch == "vq":
+        # Cold VQ start: data-dependent codebook seeding from rendered env
+        # observations (the default init collapses to a code-independent
+        # trunk — codec/semantic_vq.py init_codebook_from_batch). A resume
+        # overwrites this below; a warm start brings its own codebook.
+        from multimodal_sc_tpu.rl.warmstart import seed_vq_codebook_params
+
+        params = seed_vq_codebook_params(cfg, state.params)
+        state = state._replace(
+            params=params,
+            target_params=jax.tree_util.tree_map(jax.numpy.copy, params),
+            ema_params=jax.tree_util.tree_map(jax.numpy.copy, params))
 
     writer = MetricsWriter(metrics_path, config_json=cfg.to_json())
     watchdog = NaNWatchdog()

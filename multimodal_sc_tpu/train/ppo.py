@@ -34,6 +34,15 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None,
         state = state._replace(
             params=warm,
             ema_params=jax.tree_util.tree_map(jax.numpy.copy, warm))
+    elif cfg.camera.arch == "vq":
+        # Cold VQ start: codebook seeding from rendered observations (see
+        # train/dqn.py — a resume overwrites this below).
+        from multimodal_sc_tpu.rl.warmstart import seed_vq_codebook_params
+
+        params = seed_vq_codebook_params(cfg, state.params)
+        state = state._replace(
+            params=params,
+            ema_params=jax.tree_util.tree_map(jax.numpy.copy, params))
     # Shard envs/accumulators over the device mesh (degrades to 1 chip).
     from multimodal_sc_tpu.runtime import mesh as mesh_lib
 
