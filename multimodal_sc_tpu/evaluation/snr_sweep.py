@@ -358,6 +358,56 @@ def sweep_lidar(
     return results
 
 
+def sweep_lidar_vq(
+    cfg, params, points: Array, mask: Array, occ_target: Array, key: Array,
+    snrs_db: Sequence[float] = DEFAULT_SNRS,
+    kinds: Sequence[str] = ("awgn", "rayleigh"),
+    batches_per_point: int = 4,
+) -> Dict[str, List[dict]]:
+    """mIoU + index-error-rate curves for the DIGITAL LiDAR codec
+    (codec/lidar_bev.py LidarBEVVQCodec, lidar.arch="vq"). The digital
+    link runs inside the model (like sweep_camera_vq), so each kind gets
+    a model rebuilt with the overridden cfg.channel.kind; cfg.channel.fec
+    deploys parameter-transparently. Returns
+    {kind: [{snr_db, miou, index_err}]}."""
+    import functools
+
+    from multimodal_sc_tpu.train.fusion_jscc import build_lidar_codec
+
+    n_classes = cfg.lidar.seg_classes
+    results: Dict[str, List[dict]] = {}
+    for ki, kind in enumerate(kinds):
+        model = build_lidar_codec(cfg.override_str([f"channel.kind={kind}"]))
+
+        @functools.partial(jax.jit)
+        def eval_point(params, pts, msk, occ, snr_db, key, model=model):
+            snr_vec = jnp.full((pts.shape[0],), snr_db, jnp.float32)
+            logits, aux = model.apply({"params": params}, pts, msk,
+                                      snr_vec, key)
+            if n_classes > 1:
+                pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                m = miou(pred, occ.astype(jnp.int32), n_classes)
+            else:
+                pred = (logits[..., 0] > 0).astype(jnp.int32)
+                m = miou(pred, occ.astype(jnp.int32), 2)
+            return m, aux["index_error_rate"]
+
+        curve = []
+        for si, snr_db in enumerate(snrs_db):
+            mv, ev = [], []
+            for b in range(batches_per_point):
+                k = jax.random.fold_in(key, ki * 100000 + si * 100 + b)
+                m, e = eval_point(params, points, mask, occ_target,
+                                  float(snr_db), k)
+                mv.append(float(m))
+                ev.append(float(e))
+            curve.append({"snr_db": float(snr_db),
+                          "miou": float(np.mean(mv)),
+                          "index_err": float(np.mean(ev))})
+        results[kind] = curve
+    return results
+
+
 def save_curves(curves: dict, path: str) -> None:
     with open(path, "w") as f:
         json.dump(curves, f, indent=2)

@@ -162,6 +162,25 @@ def export_lidar_codec(cfg: ExperimentConfig, params: Any,
         mask_s = jax.ShapeDtypeStruct((batch, lid.max_points), jnp.bool_)
         snr_s = jax.ShapeDtypeStruct((batch,), jnp.float32)
 
+    if lid.arch == "vq":
+        # Digital LiDAR codec (codec/lidar_bev.py LidarBEVVQCodec):
+        # transmitter exports (points, mask) -> indices int32, receiver
+        # indices -> BEV logits — same split as the camera VQ export.
+        def enc_vq(points, mask):
+            idx, _, _ = model.apply({"params": params}, points, mask,
+                                    method="encode_tokens")
+            return idx
+
+        idx_spec = jax.eval_shape(enc_vq, pts_s, mask_s)
+        idx_s = jax.ShapeDtypeStruct(idx_spec.shape, idx_spec.dtype)
+
+        def dec_vq(idx):
+            return model.apply({"params": params}, idx,
+                               method="decode_tokens")
+
+        return {"lidar_encoder": _export(enc_vq, pts_s, mask_s),
+                "lidar_decoder": _export(dec_vq, idx_s)}
+
     def enc(points, mask, snr_db):
         return model.apply({"params": params}, (points, mask), snr_db,
                            method="encode")

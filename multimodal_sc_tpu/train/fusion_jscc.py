@@ -61,9 +61,21 @@ def build_camera_codec(cfg: ExperimentConfig):
 
 
 def build_lidar_codec(cfg: ExperimentConfig):
-    """The fusion pipeline's LiDAR BEV codec module (same sharing)."""
+    """The fusion pipeline's LiDAR BEV codec module (same sharing).
+    ``lidar.arch="vq"`` builds the digital codec (codec/lidar_bev.py
+    LidarBEVVQCodec — discrete indices over QPSK, r4)."""
     lid = cfg.lidar
     dtype = jnp.bfloat16 if cfg.train.bf16 else jnp.float32
+    if lid.arch == "vq":
+        from multimodal_sc_tpu.codec.lidar_bev import LidarBEVVQCodec
+
+        return LidarBEVVQCodec(
+            pillar_dim=lid.pillar_dim, bev_hw=lid.bev_hw,
+            vq_codes=lid.vq_codes, vq_dim=lid.vq_dim, vq_beta=lid.vq_beta,
+            seg_classes=lid.seg_classes,
+            x_range=lid.x_range, y_range=lid.y_range,
+            channel_cfg=cfg.channel,
+            use_pallas=cfg.use_pallas, dtype=dtype)
     return LidarBEVCodec(
         pillar_dim=lid.pillar_dim, bev_hw=lid.bev_hw, c_sym=lid.c_sym,
         seg_classes=lid.seg_classes,
@@ -81,18 +93,25 @@ class LateFusionJSCC(nn.Module):
         self.lidar = build_lidar_codec(self.cfg)
 
     def __call__(self, img, points, mask, snr_db, key):
-        """Full late-fusion TX: both branches through the channel."""
+        """Full late-fusion TX: both branches through the channel.
+        Returns (recon, occ_logits, lidar_aux) — aux is empty for the
+        analog LiDAR codec, {vq_loss, index_error_rate, code_perplexity}
+        for lidar.arch="vq" (its digital ride happens inside its own
+        __call__, like the camera VQ codec)."""
         ch = self.cfg.channel
         k_cam, k_lid = jax.random.split(key)
         z_cam = self.camera.encode(img, snr_db)
-        z_lid = self.lidar.encode((points, mask))
         z_cam_hat = channel_op(z_cam, snr_db, ch.kind, k_cam,
                                **channel_kwargs(ch))
+        recon = self.camera.decode(z_cam_hat, snr_db)
+        if self.cfg.lidar.arch == "vq":
+            occ_logits, lid_aux = self.lidar(points, mask, snr_db, k_lid)
+            return recon, occ_logits, lid_aux
+        z_lid = self.lidar.encode((points, mask))
         z_lid_hat = channel_op(z_lid, snr_db, ch.kind, k_lid,
                                **channel_kwargs(ch))
-        recon = self.camera.decode(z_cam_hat, snr_db)
         occ_logits = self.lidar.decode(z_lid_hat)
-        return recon, occ_logits
+        return recon, occ_logits, {}
 
 
 class TrainState(train_state.TrainState):
@@ -138,8 +157,8 @@ def _step_body(cfg: ExperimentConfig):
                                       lid.y_range)
 
         def loss_fn(params):
-            recon, logits = model.apply({"params": params}, img, pts, mask,
-                                        snr_db, kch)
+            recon, logits, lid_aux = model.apply(
+                {"params": params}, img, pts, mask, snr_db, kch)
             cam_loss = jnp.mean(jnp.square(recon - img))
             if semantic:
                 lid_loss = jnp.mean(
@@ -150,10 +169,15 @@ def _step_body(cfg: ExperimentConfig):
                 occ = target
                 lid_loss = jnp.mean(jnp.maximum(l, 0) - l * occ
                                     + jnp.log1p(jnp.exp(-jnp.abs(l))))
-            return cam_loss + 0.5 * lid_loss, (recon, logits, cam_loss,
-                                               lid_loss)
+            loss = cam_loss + 0.5 * lid_loss
+            if "vq_loss" in lid_aux:
+                # Digital LiDAR codec: the codebook trains only through
+                # its own codebook+commitment term (STE gradients bypass
+                # it) — same weight as the camera VQ recipe.
+                loss = loss + lid_aux["vq_loss"]
+            return loss, (recon, logits, cam_loss, lid_loss, lid_aux)
 
-        (loss, (recon, logits, cam_loss, lid_loss)), grads = \
+        (loss, (recon, logits, cam_loss, lid_loss, lid_aux)), grads = \
             jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads=grads)
         if semantic:
@@ -167,6 +191,10 @@ def _step_body(cfg: ExperimentConfig):
             "psnr": psnr(recon, img),
             "miou": m,
         }
+        if "vq_loss" in lid_aux:
+            metrics["lidar_vq_loss"] = lid_aux["vq_loss"]
+            metrics["lidar_index_err"] = lid_aux["index_error_rate"]
+            metrics["lidar_code_perplexity"] = lid_aux["code_perplexity"]
         return state, metrics
 
     return train_step
@@ -229,6 +257,23 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None):
             state = restored
 
     start_step = int(jax.device_get(state.step))
+    if cfg.lidar.arch == "vq" and start_step == 0:
+        # Fresh run: data-dependent codebook seeding from real encoder
+        # outputs (never on resume) — the default init collapses to a
+        # code-independent decoder (codec/semantic_vq.py
+        # init_codebook_from_batch, same failure mode).
+        from multimodal_sc_tpu.codec.semantic_vq import seed_codebook
+
+        pts0, mask0, _ = synthetic_pointcloud_batch(
+            jax.random.fold_in(key, 0xC0DE), cfg.train.batch_size,
+            cfg.lidar.max_points, cfg.lidar.x_range, cfg.lidar.y_range,
+            with_classes=True)
+        lid_model = build_lidar_codec(cfg)
+        z = lid_model.apply({"params": state.params["lidar"]}, pts0, mask0,
+                            method="encode_features")
+        new_lidar = seed_codebook(dict(state.params["lidar"]), z,
+                                  jax.random.fold_in(key, 0xC0DF))
+        state = state.replace(params={**state.params, "lidar": new_lidar})
     data._step = start_step
     # Distinct stream from the dataset's fold_in(key(seed), step) — a raw
     # key(seed) here would make channel/SNR draws correlate with image
