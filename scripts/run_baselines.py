@@ -162,6 +162,32 @@ RUNS = [
                   "--set", "train.batch_size=32",
                   "--set", f"train.checkpoint_dir={OUT}/ckpt_c3",
                   "--out", f"{OUT}/c3_curves.json"]),
+    # r4 (VERDICT r3 item 4): the multimodal half of the digital story —
+    # the BEV codec over the QPSK digital link (lidar.arch=vq,
+    # codec/lidar_bev.py LidarBEVVQCodec). At vq_codes=256 on the 32x32
+    # c3 grid the payload (4096 QPSK symbols) exactly matches the analog
+    # bandwidth (32*32*c_sym=4), so the mIoU-vs-SNR comparison against
+    # c3_sweep is bandwidth-matched. Camera stays analog ViT — a mixed
+    # analog/digital multimodal deployment.
+    ("c3_vq", ["train", "--config", "c3",
+               "--set", "lidar.arch=vq",
+               "--set", "train.steps=2500", "--set", "train.log_every=250",
+               "--set", "train.batch_size=32",
+               "--set", f"train.checkpoint_dir={OUT}/ckpt_c3vq",
+               "--set", "train.checkpoint_every=2500"]),
+    ("c3_vq_sweep", ["eval", "--config", "c3",
+                     "--set", "lidar.arch=vq",
+                     "--set", "train.batch_size=32",
+                     "--set", f"train.checkpoint_dir={OUT}/ckpt_c3vq",
+                     "--out", f"{OUT}/c3_vq_curves.json"]),
+    # Same checkpoint deployed CODED (soft-ML Hamming(7,4), 7/4x
+    # bandwidth): parameter-transparent, the waterfall moves left.
+    ("c3_vq_fec_sweep", ["eval", "--config", "c3",
+                         "--set", "lidar.arch=vq",
+                         "--set", "channel.fec=hamming74_soft",
+                         "--set", "train.batch_size=32",
+                         "--set", f"train.checkpoint_dir={OUT}/ckpt_c3vq",
+                         "--out", f"{OUT}/c3_vq_fec_curves.json"]),
     # c4: preset defaults are the r2 tuning (64 envs, n_step=3, eps 3000)
     # + the r3 chunked dispatch (train.iters_per_dispatch=50).
     ("c4", ["train", "--config", "c4",
@@ -339,6 +365,48 @@ RUNS = [
                                 "--set", "channel.v2x_snr_offset_db=-40",
                                 "--set",
                                 f"train.checkpoint_dir={OUT}/ckpt_c4fv"]),
+    # r4 (VERDICT r3 item 2): the driving agent over the DIGITAL link —
+    # camera.arch=vq routes the c4 camera branch through the VQ codebook +
+    # QPSK digital channel (rl/perception.py arch="vq"); cold start with
+    # data-dependent codebook seeding (train/dqn.py), same budget/recipe
+    # as the analog c4 bar (110.7 EMA).
+    ("c4_vq", ["train", "--config", "c4",
+               "--set", "camera.arch=vq",
+               "--set", "train.steps=5000",
+               "--set", "train.log_every=500",
+               "--set", f"train.checkpoint_dir={OUT}/ckpt_c4vq",
+               "--set", "train.checkpoint_every=5000"]),
+    ("c4_vq_eval_ema", ["eval-policy", "--config", "c4",
+                        "--episodes", "256", "--use-ema",
+                        "--set", "camera.arch=vq",
+                        "--set", f"train.checkpoint_dir={OUT}/ckpt_c4vq"]),
+    # Deploy-time FEC on the SAME checkpoint (parameter-transparent): the
+    # protocol stack live on the control path — soft-ML Hamming(7,4)
+    # between the indices and the QPSK symbols, 7/4x bandwidth.
+    ("c4_vq_eval_ema_fec", ["eval-policy", "--config", "c4",
+                            "--episodes", "256", "--use-ema",
+                            "--set", "camera.arch=vq",
+                            "--set", "channel.fec=hamming74_soft",
+                            "--set",
+                            f"train.checkpoint_dir={OUT}/ckpt_c4vq"]),
+    # Closed-loop digital-cliff curve: episode return vs SNR, uncoded vs
+    # the analog c4 curves (digital should hold near the clear-air return
+    # above the waterfall and cliff below it).
+    ("c4_vq_snr_sweep", ["eval-policy", "--config", "c4", "--snr-sweep",
+                         "--episodes", "256", "--use-ema",
+                         "--kinds", "awgn",
+                         "--set", "camera.arch=vq",
+                         "--set", f"train.checkpoint_dir={OUT}/ckpt_c4vq",
+                         "--out", f"{OUT}/c4_vq_policy_curves.json"]),
+    ("c4_vq_snr_sweep_fec", ["eval-policy", "--config", "c4", "--snr-sweep",
+                             "--episodes", "256", "--use-ema",
+                             "--kinds", "awgn",
+                             "--set", "camera.arch=vq",
+                             "--set", "channel.fec=hamming74_soft",
+                             "--set",
+                             f"train.checkpoint_dir={OUT}/ckpt_c4vq",
+                             "--out",
+                             f"{OUT}/c4_vq_fec_policy_curves.json"]),
     # c5 at the r2-bar budget (150 updates), both eval modes recorded in
     # ONE artifact (VERDICT r2 item 4 — the r2 json only held the 60-update
     # run and an rc-1 eval).
@@ -391,6 +459,44 @@ RUNS = [
                         "--set", "train.seed=1",
                         "--set",
                         f"train.checkpoint_dir={OUT}/ckpt_c5_s1"]),
+    # r4 (VERDICT r3 item 8): seeds 2-3 so the c5 deployment-mode
+    # recommendation ("deploy sampled") rests on 6 effective seeds, not 4.
+    ("c5_s2", ["train", "--config", "c5",
+               "--set", "train.steps=150", "--set", "train.log_every=10",
+               "--set", "rl.num_envs=64",
+               "--set", "train.seed=2",
+               "--set", f"train.checkpoint_dir={OUT}/ckpt_c5_s2",
+               "--set", "train.checkpoint_every=150"]),
+    ("c5_s2_eval_sampled", ["eval-policy", "--config", "c5", "--sample",
+                            "--episodes", "256",
+                            "--set", "rl.num_envs=64",
+                            "--set", "train.seed=2",
+                            "--set",
+                            f"train.checkpoint_dir={OUT}/ckpt_c5_s2"]),
+    ("c5_s2_eval_ema", ["eval-policy", "--config", "c5",
+                        "--episodes", "256", "--use-ema",
+                        "--set", "rl.num_envs=64",
+                        "--set", "train.seed=2",
+                        "--set",
+                        f"train.checkpoint_dir={OUT}/ckpt_c5_s2"]),
+    ("c5_s3", ["train", "--config", "c5",
+               "--set", "train.steps=150", "--set", "train.log_every=10",
+               "--set", "rl.num_envs=64",
+               "--set", "train.seed=3",
+               "--set", f"train.checkpoint_dir={OUT}/ckpt_c5_s3",
+               "--set", "train.checkpoint_every=150"]),
+    ("c5_s3_eval_sampled", ["eval-policy", "--config", "c5", "--sample",
+                            "--episodes", "256",
+                            "--set", "rl.num_envs=64",
+                            "--set", "train.seed=3",
+                            "--set",
+                            f"train.checkpoint_dir={OUT}/ckpt_c5_s3"]),
+    ("c5_s3_eval_ema", ["eval-policy", "--config", "c5",
+                        "--episodes", "256", "--use-ema",
+                        "--set", "rl.num_envs=64",
+                        "--set", "train.seed=3",
+                        "--set",
+                        f"train.checkpoint_dir={OUT}/ckpt_c5_s3"]),
     # Entropy-anneal experiment arm (r2 memory lead): 0.01 -> 0.001 over
     # the run; expected to sharpen the policy for greedy deployment.
     ("c5_anneal", ["train", "--config", "c5",
