@@ -75,23 +75,31 @@ class TestFog:
         trace-time constant)."""
         cfg = _env_cfg()
         state = _state_with_npc_ahead(cfg, 15.0)
+        # Count TRACES (the Python body runs once per trace) rather than
+        # poking jit-cache internals, which vary with the persistent
+        # compilation cache the suite conftest enables.
+        traces = []
 
         @jax.jit
         def render(s):
+            traces.append(1)
             return driving.render_camera(cfg, s)
 
         clear = render(state)
         foggy = render(state._replace(fog=jnp.float32(10.0)))
-        assert render._cache_size() == 1
+        assert len(traces) == 1
         assert np.abs(np.asarray(clear) - np.asarray(foggy)).max() > 0.05
+
+        scans = []
 
         @jax.jit
         def scan(s):
+            scans.append(1)
             return driving.lidar_scan(cfg, s, max_range=s.fog)
 
         _, m_clear = scan(state)
         _, m_fog = scan(state._replace(fog=jnp.float32(5.0)))
-        assert scan._cache_size() == 1
+        assert len(scans) == 1
         assert int(jnp.sum(m_clear)) > int(jnp.sum(m_fog))
 
     def test_fog_zero_is_identity(self):
