@@ -3,6 +3,7 @@ exactly the Polyak recursion over the param trajectory — per learn step
 for DQN, per update for PPO."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,6 +24,7 @@ def _leaves(tree):
     return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
 
 
+@pytest.mark.slow
 def test_ema_matches_manual_recursion(key):
     from multimodal_sc_tpu.rl import dqn as dqn_lib
 
@@ -62,6 +64,7 @@ def test_ema_frozen_when_tau_zero(key):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_ema_in_chunked_dispatch_matches_singles(key):
     """chunk>1 scans the same body: the EMA after one 4-chunk dispatch
     equals four single dispatches bit-exactly."""
@@ -85,6 +88,7 @@ TINY_PPO = TINY + [
 ]
 
 
+@pytest.mark.slow
 def test_ppo_ema_matches_manual_recursion(key):
     """PPO lerps the EMA once per UPDATE with the post-epochs params."""
     from multimodal_sc_tpu.rl import ppo as ppo_lib
@@ -117,6 +121,7 @@ def test_ppo_ema_frozen_when_tau_zero(key):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_ppo_ema_in_chunked_dispatch_matches_singles(key):
     """Unlike the DQN case above, jit(body) and jit(scan(body)) are two
     DIFFERENT compiled graphs for the PPO update and XLA reassociates the

@@ -8,6 +8,7 @@ bit-identical to K single dispatches.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,6 +30,7 @@ def _tiny(*extra):
     ])
 
 
+@pytest.mark.slow
 def test_carry_matches_rerender_f32(key):
     """With f32 stores, carrying obs == re-rendering. Same math, but two
     different compiled graphs — XLA fusion reassociation gives ~1 ULP
@@ -62,6 +64,7 @@ def test_carry_matches_rerender_f32(key):
                 err_msg=f"iter {i} metric {k}")
 
 
+@pytest.mark.slow
 def test_carried_obs_invariant(key):
     """The carried obs always equals observe_batch of the carried env state
     (the invariant that makes the carry safe), in storage dtype."""
@@ -81,6 +84,7 @@ def test_carried_obs_invariant(key):
                                   np.asarray(mask))
 
 
+@pytest.mark.slow
 def test_chunked_matches_single_dispatch(key):
     """lax.scan-chunked iterations == the same count of single dispatches
     (to ~1 ULP: the scanned body is a separately compiled program, so XLA

@@ -62,6 +62,7 @@ def test_dqn_iteration_under_random_snr(key):
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_ppo_update_under_random_snr(key):
     cfg = msc.get_preset("c5").override_str(TINY + ROBUST + [
         "rl.rollout_length=8", "rl.num_minibatches=2"])

@@ -58,6 +58,7 @@ def test_buffer_dtype_follows_flag(key):
     assert state_f.buffer.data.image.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_iteration_trains_with_and_without_quantize(key):
     """Both paths run the fused iteration and produce close TD losses on
     the same stream (quantization error is ~1e-3 on [0,1] images)."""
@@ -91,6 +92,7 @@ def test_iteration_trains_with_and_without_quantize(key):
         1.0 + abs(first_losses["false"]))
 
 
+@pytest.mark.slow
 def test_resume_across_quantize_flip_refuses(tmp_path, key):
     """Restoring a checkpoint dir trained with the other replay_quantize
     value must raise (orbax would silently cast f32<->uint8 image stores,
