@@ -37,6 +37,10 @@ def main() -> None:
         cfg = cfg.override_str(["pallas_mha_block=true"])
     if "--no-mha-block" in sys.argv:   # A/B arm vs the (now default-on)
         cfg = cfg.override_str(["pallas_mha_block=false"])  # fused block
+    if "--vq" in sys.argv:             # digital control path A/B arm:
+        # camera branch = codebook indices over QPSK (rl/perception.py
+        # arch="vq") instead of analog symbols.
+        cfg = cfg.override_str(["camera.arch=vq"])
     carry_obs = "--no-carry-obs" not in sys.argv   # r2-behavior A/B arm
     # 1024 parallel envs saturate the chip (measured: 23.5k steps/s/chip at
     # 256 envs -> 37.7k at 1024; 2048+ hits compile/HBM limits).

@@ -376,6 +376,21 @@ RUNS = [
                "--set", "train.log_every=500",
                "--set", f"train.checkpoint_dir={OUT}/ckpt_c4vq",
                "--set", "train.checkpoint_every=5000"]),
+    # Warm start from the r3 c1_vq RECONSTRUCTION checkpoint: the same
+    # codec firmware deploys on the control path (rl/warmstart.py maps
+    # the VQCameraJSCC encoder half into the trunk's cam_vq submodule).
+    ("c4_vq_warm", ["train", "--config", "c4",
+                    "--set", "camera.arch=vq",
+                    "--init-from", "results_r3/ckpt_c1vq",
+                    "--set", "train.steps=5000",
+                    "--set", "train.log_every=500",
+                    "--set", f"train.checkpoint_dir={OUT}/ckpt_c4vqw",
+                    "--set", "train.checkpoint_every=5000"]),
+    ("c4_vq_warm_eval_ema", ["eval-policy", "--config", "c4",
+                             "--episodes", "256", "--use-ema",
+                             "--set", "camera.arch=vq",
+                             "--set",
+                             f"train.checkpoint_dir={OUT}/ckpt_c4vqw"]),
     ("c4_vq_eval_ema", ["eval-policy", "--config", "c4",
                         "--episodes", "256", "--use-ema",
                         "--set", "camera.arch=vq",
