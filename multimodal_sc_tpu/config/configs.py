@@ -173,10 +173,12 @@ class LidarCodecConfig:
     enabled: bool = False
     arch: str = "analog"          # analog (continuous JSCC symbols) | vq
     # (discrete codebook indices over the QPSK digital link — the LiDAR
-    # counterpart of camera.arch="vq", codec/lidar_bev.py LidarBEVVQCodec;
-    # r4, VERDICT r3 item 4). At vq_codes=256 on a 32x32 BEV grid the
-    # digital payload (1024 tokens x 8 bits -> 4096 QPSK symbols) exactly
-    # matches the analog bandwidth (32*32*c_sym=4 = 4096 symbols).
+    # counterpart of camera.arch="vq"; r4, VERDICT r3 item 4). On c3 it
+    # builds codec/lidar_bev.py LidarBEVVQCodec; on c4/c5 it routes the
+    # RL trunk's LiDAR branch — INCLUDING the V2X RSU link — through the
+    # digital path (rl/perception.py). Bandwidth-matched to analog at the
+    # defaults: c3 32x32 grid -> 1024 tok x 8 bit = 4096 QPSK symbols ==
+    # 32*32*c_sym(4); c4 16x16 grid -> 256 x 8 = 1024 == 16*16*c_sym(4).
     vq_codes: int = 256           # codebook size (power of 4)
     vq_dim: int = 32              # code dimension
     vq_beta: float = 0.25         # commitment weight
@@ -420,11 +422,6 @@ class ExperimentConfig:
                 "channel.uep_alpha requires the digital VQ codec "
                 f"(camera.arch='vq', got {cam.arch!r}); the analog paths "
                 "would silently ignore it")
-        if rl_task and self.lidar.arch == "vq":
-            raise ValueError(
-                "lidar.arch='vq' is a reconstruction-codec mode (c3); the "
-                "RL perception trunk builds its own analog LiDAR branch "
-                "and would silently ignore it")
         if ch.fec != "none" and cam.arch != "vq" \
                 and self.lidar.arch != "vq":
             raise ValueError(

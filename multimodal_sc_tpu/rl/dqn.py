@@ -213,15 +213,16 @@ def _td_loss(params, target_params, batch: Transition, key: Array,
     snr = _sample_snr(cfg, jax.random.fold_in(key, 0x57A2),
                       batch.image.shape[0])
     vq_loss = None
-    if cfg.camera.arch == "vq":
-        # The perception trunk sows its VQ codebook+commitment loss
-        # (rl/perception.py arch="vq"); TD gradients ride the straight-
-        # through path and never move the codebook, so the learner adds
-        # it explicitly (rl.vq_loss_coef).
+    if cfg.camera.arch == "vq" or cfg.lidar.arch == "vq":
+        # The perception trunk sows VQ codebook+commitment losses (one
+        # entry per digital branch call: camera, ego LiDAR, V2X —
+        # rl/perception.py); TD gradients ride the straight-through path
+        # and never move the codebooks, so the learner sums and adds them
+        # explicitly (rl.vq_loss_coef).
         q, col = net.apply(
             {"params": params}, batch.image, batch.points, batch.mask,
             k1, snr_db=snr, mutable=["intermediates"])
-        vq_loss = col["intermediates"]["perception"]["vq_loss"][0]
+        vq_loss = sum(col["intermediates"]["perception"]["vq_loss"])
     else:
         q = net.apply({"params": params}, batch.image, batch.points,
                       batch.mask, k1, snr_db=snr)

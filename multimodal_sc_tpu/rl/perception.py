@@ -92,8 +92,27 @@ class SemanticPerception(nn.Module):
             use_pallas=self.cfg.use_pallas, dtype=dtype)
         self.lid_backbone = BEVBackbone(
             features=(lid.pillar_dim, lid.pillar_dim), dtype=dtype)
-        self.lid_sym_head = nn.Dense(2 * lid.c_sym, dtype=dtype)
-        self.lid_sym_embed = nn.Dense(lid.pillar_dim, dtype=dtype)
+        if lid.arch == "vq":
+            # Digital LiDAR on the control path (r4): BEV features ->
+            # codebook indices -> QPSK link -> received codes -> tokens.
+            # The V2X RSU branch shares these params, so the cooperative
+            # link is digital too. Param names mirror LidarBEVVQCodec
+            # (to_code/codebook/from_code) so a c3_vq reconstruction
+            # checkpoint warm-starts the deployed firmware by name.
+            from multimodal_sc_tpu.channel.digital import index_bits
+
+            index_bits(lid.vq_codes)            # validates power of 4
+            self.lid_to_code = nn.Conv(lid.vq_dim, (1, 1), dtype=dtype,
+                                       name="lid_to_code")
+            self.lid_codebook = self.param(
+                "lid_codebook",
+                nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+                (lid.vq_codes, lid.vq_dim))
+            self.lid_from_code = nn.Dense(lid.pillar_dim, dtype=dtype,
+                                          name="lid_from_code")
+        else:
+            self.lid_sym_head = nn.Dense(2 * lid.c_sym, dtype=dtype)
+            self.lid_sym_embed = nn.Dense(lid.pillar_dim, dtype=dtype)
         self.lid_dec = BEVBackbone(
             features=(lid.pillar_dim, lid.pillar_dim), dtype=dtype)
         if self.cfg.env.v2x_rays > 0:
@@ -187,6 +206,32 @@ class SemanticPerception(nn.Module):
 
         def lidar_branch(pts, msk, link_snr, k):
             bev = self.lid_backbone(self.pfn(pts, msk))
+            if lid.arch == "vq":
+                # Digital link: quantize against the shared codebook,
+                # ship indices over QPSK (+ optional FEC), decode the
+                # RECEIVED codes with clean STE gradients. The sown
+                # vq_loss entries (one per branch call — ego and V2X) are
+                # summed by the RL learners (rl.vq_loss_coef).
+                from multimodal_sc_tpu.codec.semantic_vq import (
+                    transmit_indices,
+                    vector_quantize,
+                )
+
+                z_e = self.lid_to_code(bev).astype(jnp.float32)
+                b, h, w, _ = z_e.shape
+                z_ste, idx_tx, vq_loss = vector_quantize(
+                    z_e, self.lid_codebook, lid.vq_beta)
+                idx_tx = idx_tx.reshape(b, h * w)
+                z_ste = z_ste.reshape(b, h * w, lid.vq_dim)
+                idx_rx = transmit_indices(ch, idx_tx, lid.vq_codes,
+                                          link_snr, k)
+                z_rx = z_ste + jax.lax.stop_gradient(
+                    self.lid_codebook[idx_rx] - z_ste)
+                self.sow("intermediates", "vq_loss", vq_loss)
+                x = self.lid_from_code(
+                    z_rx.reshape(b, h, w, lid.vq_dim).astype(bev.dtype))
+                return self.lid_dec(x).reshape(
+                    b, h * w, lid.pillar_dim).astype(jnp.float32)
             sym = self.lid_sym_head(bev)
             b, h, w, _ = sym.shape
             z = sym.reshape(b, h * w * lid.c_sym, 2).astype(jnp.float32)

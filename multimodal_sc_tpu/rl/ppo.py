@@ -155,15 +155,15 @@ def _ppo_loss(params, batch, cfg: ExperimentConfig, key: Array,
         # (see rl/dqn.py:_td_loss; kernel stays on the fwd-only rollout).
         cfg = cfg.override(mha_block_kernel=False)
     vq_loss = None
-    if cfg.camera.arch == "vq":
-        # VQ codebook+commitment loss sown by the trunk (see
-        # rl/dqn.py:_td_loss — the PPO surrogate's STE gradients never
-        # move the codebook either).
+    if cfg.camera.arch == "vq" or cfg.lidar.arch == "vq":
+        # VQ codebook+commitment losses sown by the trunk, one per
+        # digital branch call (see rl/dqn.py:_td_loss — the PPO
+        # surrogate's STE gradients never move the codebooks either).
         (logits, value), col = ActorCritic(cfg).apply(
             {"params": params}, dequantize_frame(batch["image"]),
             batch["points"], batch["mask"], key, snr_db=batch["snr"],
             mutable=["intermediates"])
-        vq_loss = col["intermediates"]["perception"]["vq_loss"][0]
+        vq_loss = sum(col["intermediates"]["perception"]["vq_loss"])
     else:
         logits, value = ActorCritic(cfg).apply(
             {"params": params}, dequantize_frame(batch["image"]),

@@ -100,6 +100,11 @@ def load_jscc_into_perception(cfg: ExperimentConfig, params: Any,
             ("lid_sym_head", lid_src.get("sym_head")),
             ("lid_sym_embed", lid_src.get("sym_embed")),
             ("lid_dec", lid_src.get("dec_backbone")),
+            # Digital (c3_vq) source -> digital (lidar.arch=vq) trunk:
+            # the perception module names mirror LidarBEVVQCodec's.
+            ("lid_to_code", lid_src.get("to_code")),
+            ("lid_codebook", lid_src.get("codebook")),
+            ("lid_from_code", lid_src.get("from_code")),
         ]
 
     loaded, skipped = [], []
@@ -150,21 +155,55 @@ def seed_vq_codebook_params(cfg: ExperimentConfig, params: Any,
         key = jax.random.key(cfg.train.seed)
     key = jax.random.fold_in(key, 0xC0DE)
     states = driving.reset_batch(cfg.env, key, 64)
-    img, _, _ = driving.observe_batch(cfg.env, states)
-    cam = cfg.camera
-    enc = VQEncoderTokens(
-        features=cam.features, vq_dim=cam.vq_dim, vq_codes=cam.vq_codes,
-        vq_beta=cam.vq_beta, use_pallas=cfg.use_pallas,
-        dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32)
+    img, pts, mask = driving.observe_batch(cfg.env, states)
+    dtype = jnp.bfloat16 if cfg.train.bf16 else jnp.float32
     per = dict(params["perception"])
-    sub = dict(per["cam_vq"])
-    z = enc.apply({"params": sub}, img, method="encode_features")
-    old = sub["codebook"]
-    sub = seed_codebook(sub, z, jax.random.fold_in(key, 1))
-    if hasattr(old, "sharding"):
-        # Preserve the leaf's placement (sharded/multi-device states).
-        sub["codebook"] = jax.device_put(sub["codebook"], old.sharding)
-    per["cam_vq"] = sub
+
+    def _keep_placement(old, new):
+        return jax.device_put(new, old.sharding) \
+            if hasattr(old, "sharding") else new
+
+    if cfg.camera.arch == "vq":
+        cam = cfg.camera
+        enc = VQEncoderTokens(
+            features=cam.features, vq_dim=cam.vq_dim, vq_codes=cam.vq_codes,
+            vq_beta=cam.vq_beta, use_pallas=cfg.use_pallas, dtype=dtype)
+        sub = dict(per["cam_vq"])
+        z = enc.apply({"params": sub}, img, method="encode_features")
+        old = sub["codebook"]
+        sub = seed_codebook(sub, z, jax.random.fold_in(key, 1))
+        sub["codebook"] = _keep_placement(old, sub["codebook"])
+        per["cam_vq"] = sub
+
+    if cfg.lidar.arch == "vq":
+        # Same fix for the LiDAR codebook: BEV features from the fresh
+        # pillar trunk, to_code projection, sample rows.
+        from flax import linen as nn
+
+        from multimodal_sc_tpu.codec.lidar_bev import (
+            BEVBackbone,
+            PillarFeatureNet,
+        )
+
+        lid = cfg.lidar
+        pfn = PillarFeatureNet(
+            pillar_dim=lid.pillar_dim, bev_hw=lid.bev_hw,
+            x_range=lid.x_range, y_range=lid.y_range,
+            use_pallas=cfg.use_pallas, dtype=dtype)
+        bb = BEVBackbone(features=(lid.pillar_dim, lid.pillar_dim),
+                         dtype=dtype)
+        to_code = nn.Conv(lid.vq_dim, (1, 1), dtype=dtype)
+        # The ego rays only (V2X appends RSU rays; same codec anyway).
+        r = cfg.env.lidar_rays
+        x = pfn.apply({"params": per["pfn"]}, pts[:, :r], mask[:, :r])
+        x = bb.apply({"params": per["lid_backbone"]}, x)
+        z = to_code.apply({"params": per["lid_to_code"]}, x)
+        old = per["lid_codebook"]
+        seeded = seed_codebook({"codebook": old},
+                               jnp.asarray(z, jnp.float32),
+                               jax.random.fold_in(key, 2))
+        per["lid_codebook"] = _keep_placement(old, seeded["codebook"])
+
     new_params = dict(params)
     new_params["perception"] = per
     return new_params

@@ -106,7 +106,7 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
             params=params,
             target_params=jax.tree_util.tree_map(jax.numpy.copy, params),
             ema_params=jax.tree_util.tree_map(jax.numpy.copy, params))
-    elif cfg.camera.arch == "vq":
+    elif cfg.camera.arch == "vq" or cfg.lidar.arch == "vq":
         # Cold VQ start: data-dependent codebook seeding from rendered env
         # observations (the default init collapses to a code-independent
         # trunk — codec/semantic_vq.py init_codebook_from_batch). A resume

@@ -34,7 +34,7 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None,
         state = state._replace(
             params=warm,
             ema_params=jax.tree_util.tree_map(jax.numpy.copy, warm))
-    elif cfg.camera.arch == "vq":
+    elif cfg.camera.arch == "vq" or cfg.lidar.arch == "vq":
         # Cold VQ start: codebook seeding from rendered observations (see
         # train/dqn.py — a resume overwrites this below).
         from multimodal_sc_tpu.rl.warmstart import seed_vq_codebook_params

@@ -132,7 +132,71 @@ class TestLidarVQ:
         assert len(c) == 2
         assert c[0]["index_err"] > c[1]["index_err"]  # -5 dB worse
 
-    def test_rl_path_rejects_lidar_vq(self):
-        cfg = msc.get_preset("c4").override_str(["lidar.arch=vq"])
-        with pytest.raises(ValueError, match="lidar.arch"):
-            cfg.validate()
+    def test_rl_full_digital_iteration(self, key):
+        """The WHOLE multimodal agent over digital links: camera VQ +
+        LiDAR VQ + fog + V2X (the RSU tokens ride the digital LiDAR
+        codec too). One learning DQN iteration chain with finite metrics
+        and both codebooks moving."""
+        import numpy as np
+
+        from multimodal_sc_tpu.rl import dqn as dqn_lib
+
+        cfg = msc.get_preset("c4").override_str([
+            "camera.arch=vq", "camera.features=8,16,16,16",
+            "camera.image_hw=16,16", "camera.vq_codes=16",
+            "camera.vq_dim=8", "env.image_hw=16,16",
+            "lidar.arch=vq", "lidar.vq_codes=16", "lidar.vq_dim=8",
+            "lidar.pillar_dim=16", "lidar.bev_hw=8,8",
+            "env.fog_range=10", "env.v2x_rays=16",
+            "fusion.dim=32", "fusion.depth=1", "fusion.heads=2",
+            "fusion.state_dim=32", "env.num_npcs=2", "env.lidar_rays=16",
+            "rl.replay_capacity=64", "rl.batch_size=4",
+            "rl.target_update_period=2",
+        ]).validate()
+        p0 = dqn_lib.init(cfg, key, num_envs=4).params["perception"]
+        assert "lid_codebook" in p0 and "lid_to_code" in p0
+        assert "lid_sym_head" not in p0
+        state = dqn_lib.init(cfg, key, num_envs=4)
+        it = dqn_lib.make_iteration(cfg, learn=True)
+        for _ in range(6):
+            state, m = it(state)
+        assert int(state.step) >= 1
+        assert all(np.isfinite(float(v))
+                   for v in jax.tree_util.tree_leaves(m))
+        p1 = state.params["perception"]
+        assert float(jnp.max(jnp.abs(
+            p0["lid_codebook"] - p1["lid_codebook"]))) > 0
+        assert float(jnp.max(jnp.abs(
+            p0["cam_vq"]["codebook"] - p1["cam_vq"]["codebook"]))) > 0
+
+    def test_warmstart_c3vq_into_rl_trunk(self, key, tmp_path):
+        """A c3_vq fusion checkpoint warm-starts the RL trunk's digital
+        LiDAR firmware (to_code/codebook/from_code by name)."""
+        import numpy as np
+
+        from multimodal_sc_tpu.io.checkpoint import CheckpointManager
+        from multimodal_sc_tpu.rl import dqn as dqn_lib
+        from multimodal_sc_tpu.rl.warmstart import load_jscc_into_perception
+
+        c3 = _tiny_c3_vq()
+        src_state = fusion_jscc.create_train_state(c3, key)
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(10, {"params": src_state.params})
+        mgr.close()
+
+        cfg = msc.get_preset("c4").override_str([
+            "lidar.arch=vq", "lidar.vq_codes=16", "lidar.vq_dim=8",
+            "lidar.pillar_dim=16", "lidar.bev_hw=8,8",
+            "camera.features=8,16,16,16", "camera.image_hw=16,16",
+            "env.image_hw=16,16", "fusion.dim=32", "fusion.depth=1",
+            "fusion.heads=2", "fusion.state_dim=32", "env.num_npcs=2",
+            "env.lidar_rays=16",
+        ]).validate()
+        params = dqn_lib.init_params(cfg, key)
+        warm = load_jscc_into_perception(cfg, params, str(tmp_path / "ck"))
+        np.testing.assert_array_equal(
+            np.asarray(warm["perception"]["lid_codebook"]),
+            np.asarray(src_state.params["lidar"]["codebook"]))
+        np.testing.assert_array_equal(
+            np.asarray(warm["perception"]["lid_to_code"]["kernel"]),
+            np.asarray(src_state.params["lidar"]["to_code"]["kernel"]))
