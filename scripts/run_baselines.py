@@ -422,6 +422,42 @@ RUNS = [
                              f"train.checkpoint_dir={OUT}/ckpt_c4vq",
                              "--out",
                              f"{OUT}/c4_vq_fec_policy_curves.json"]),
+    # r4 stretch: BOTH modalities digital on the control path
+    # (camera.arch=vq + lidar.arch=vq — rl/perception.py), bandwidth-
+    # matched to the analog payloads at the c4 defaults.
+    ("c4_digital", ["train", "--config", "c4",
+                    "--set", "camera.arch=vq", "--set", "lidar.arch=vq",
+                    "--set", "train.steps=5000",
+                    "--set", "train.log_every=500",
+                    "--set", f"train.checkpoint_dir={OUT}/ckpt_c4dg",
+                    "--set", "train.checkpoint_every=5000"]),
+    ("c4_digital_eval_ema", ["eval-policy", "--config", "c4",
+                             "--episodes", "256", "--use-ema",
+                             "--set", "camera.arch=vq",
+                             "--set", "lidar.arch=vq",
+                             "--set",
+                             f"train.checkpoint_dir={OUT}/ckpt_c4dg"]),
+    # The full story in one arm: fogged ego, digital camera + digital
+    # LiDAR, and the V2X RSU shipping DIGITAL semantic tokens over its
+    # own link instance.
+    ("c4_fog_v2x_digital", ["train", "--config", "c4",
+                            "--set", "camera.arch=vq",
+                            "--set", "lidar.arch=vq",
+                            "--set", "env.fog_range=20",
+                            "--set", "env.v2x_rays=32",
+                            "--set", "train.steps=5000",
+                            "--set", "train.log_every=500",
+                            "--set",
+                            f"train.checkpoint_dir={OUT}/ckpt_c4fvd",
+                            "--set", "train.checkpoint_every=5000"]),
+    ("c4_fog_v2x_digital_eval_ema", ["eval-policy", "--config", "c4",
+                                     "--episodes", "256", "--use-ema",
+                                     "--set", "camera.arch=vq",
+                                     "--set", "lidar.arch=vq",
+                                     "--set", "env.fog_range=20",
+                                     "--set", "env.v2x_rays=32",
+                                     "--set",
+                                     f"train.checkpoint_dir={OUT}/ckpt_c4fvd"]),
     # c5 at the r2-bar budget (150 updates), both eval modes recorded in
     # ONE artifact (VERDICT r2 item 4 — the r2 json only held the 60-update
     # run and an rc-1 eval).
