@@ -66,6 +66,17 @@ def main():
     print("after 3 fused iterations:",
           {k: round(float(v), 4) for k, v in jax.device_get(metrics).items()})
 
+    # --- 3b. The same agent over DIGITAL links (r4): both modalities
+    # ship codebook indices over QPSK; FEC is a deploy-time flag on the
+    # same checkpoint (channel.fec=hamming74_soft).
+    cfg_d = cfg.override_str([
+        "camera.arch=vq", "camera.vq_codes=16", "camera.vq_dim=8",
+        "lidar.arch=vq", "lidar.vq_codes=16", "lidar.vq_dim=8",
+    ]).validate()
+    state_d = dqn_lib.init(cfg_d, key, num_envs=4)
+    a_d = msc.act(cfg_d, state_d.params, img_o, pts, mask, key)
+    print("digital-link actions:", a_d)
+
     # --- 4. Full training runs are presets away ---
     # python -m multimodal_sc_tpu.cli train --config c5
     print("done")
