@@ -376,12 +376,15 @@ RUNS = [
                "--set", "train.log_every=500",
                "--set", f"train.checkpoint_dir={OUT}/ckpt_c4vq",
                "--set", "train.checkpoint_every=5000"]),
-    # Warm start from the r3 c1_vq RECONSTRUCTION checkpoint: the same
+    # Warm start from the c1_vq RECONSTRUCTION checkpoint: the same
     # codec firmware deploys on the control path (rl/warmstart.py maps
     # the VQCameraJSCC encoder half into the trunk's cam_vq submodule).
+    # PREREQUISITE: the c1_vq arm must have run into the same OUT first
+    # (r4 lesson: the r3 checkpoint dirs were cleaned, so pointing at
+    # another round's artifacts 404s — keep arms self-contained).
     ("c4_vq_warm", ["train", "--config", "c4",
                     "--set", "camera.arch=vq",
-                    "--init-from", "results_r3/ckpt_c1vq",
+                    "--init-from", f"{OUT}/ckpt_c1vq",
                     "--set", "train.steps=5000",
                     "--set", "train.log_every=500",
                     "--set", f"train.checkpoint_dir={OUT}/ckpt_c4vqw",
