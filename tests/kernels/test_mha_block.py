@@ -90,6 +90,7 @@ def test_fused_module_self_attn_shares_ln(key):
     assert np.all(np.isfinite(np.asarray(y)))
 
 
+@pytest.mark.slow
 def test_mixed_execution_shares_param_tree(key):
     """The learner runs the XLA twin and the act path the Pallas kernel on
     ONE checkpoint: `mha_block_kernel` must change execution only, never
@@ -118,6 +119,7 @@ def test_mixed_execution_shares_param_tree(key):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fusion_transformer_fused_block_end_to_end(key):
     """Full fusion transformer with fused blocks: runs, differentiates, and
     produces finite outputs at flagship dims."""

@@ -1,6 +1,7 @@
 """ViT-JSCC codec tests."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,6 +39,7 @@ def test_snr_token_conditions_encoding(key):
     assert float(jnp.max(jnp.abs(z0 - z1))) > 1e-6
 
 
+@pytest.mark.slow
 def test_gradients_flow_through_channel(key):
     model, params = _init(key)
     img = jax.random.uniform(key, (2, 16, 16, 3))

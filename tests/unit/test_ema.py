@@ -50,6 +50,7 @@ def test_ema_matches_manual_recursion(key):
                zip(_leaves(state.params), _leaves(state.ema_params)))
 
 
+@pytest.mark.slow
 def test_ema_frozen_when_tau_zero(key):
     from multimodal_sc_tpu.rl import dqn as dqn_lib
 
@@ -108,6 +109,7 @@ def test_ppo_ema_matches_manual_recursion(key):
                zip(_leaves(state.params), _leaves(state.ema_params)))
 
 
+@pytest.mark.slow
 def test_ppo_ema_frozen_when_tau_zero(key):
     from multimodal_sc_tpu.rl import ppo as ppo_lib
 

@@ -19,6 +19,7 @@ def _tiny_jscc():
     ])
 
 
+@pytest.mark.slow
 def test_camera_codec_export_roundtrip(key, tmp_path):
     from multimodal_sc_tpu.train import jscc
 
@@ -54,6 +55,7 @@ def test_camera_codec_export_roundtrip(key, tmp_path):
     assert (tmp_path / "manifest.json").exists()
 
 
+@pytest.mark.slow
 def test_vq_codec_export_roundtrip(key, tmp_path):
     """VQ arch exports int32 token payloads: encoder img -> indices,
     decoder indices -> image, both batch-polymorphic, matching the live

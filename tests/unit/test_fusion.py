@@ -33,6 +33,7 @@ def test_cross_attention_uses_both_modalities(key):
     assert float(jnp.max(jnp.abs(s1 - s3))) > 1e-6
 
 
+@pytest.mark.slow
 def test_fusion_gradients(key):
     model = FusionTransformer(dim=32, depth=1, heads=2, state_dim=16)
     cam = jax.random.normal(key, (2, 10, 24))

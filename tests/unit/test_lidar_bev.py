@@ -1,6 +1,7 @@
 """LiDAR BEV pillar codec tests."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,6 +42,7 @@ def test_occupancy_target(key):
     assert 0 < total < 2 * 16 * 16  # some occupied, not all
 
 
+@pytest.mark.slow
 def test_codec_roundtrip_and_grads(key):
     model = LidarBEVCodec(bev_hw=BEV, x_range=XR, y_range=YR)
     pts, mask = synthetic_pointcloud_batch(key, 2, 256, XR, YR)

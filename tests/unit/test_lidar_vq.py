@@ -92,6 +92,7 @@ class TestLidarVQ:
         bits = n_tok * index_bits(cfg.lidar.vq_codes)
         assert bits // 2 == n_tok * cfg.lidar.c_sym == 4096
 
+    @pytest.mark.slow
     def test_fusion_train_step_and_seeding(self, key, tmp_path):
         """One c3 train step with the digital LiDAR branch: finite
         metrics, vq aux present, codebook moves; run() seeds the codebook
@@ -113,6 +114,7 @@ class TestLidarVQ:
         d = np.linalg.norm(cb[None] - cb[:, None], axis=-1)
         assert np.median(d[np.triu_indices(len(cb), 1)]) > 1e-3
 
+    @pytest.mark.slow
     def test_sweep_lidar_vq(self, key):
         from multimodal_sc_tpu.codec.lidar_bev import semantic_bev_target
         from multimodal_sc_tpu.evaluation import snr_sweep
@@ -132,6 +134,7 @@ class TestLidarVQ:
         assert len(c) == 2
         assert c[0]["index_err"] > c[1]["index_err"]  # -5 dB worse
 
+    @pytest.mark.slow
     def test_rl_full_digital_iteration(self, key):
         """The WHOLE multimodal agent over digital links: camera VQ +
         LiDAR VQ + fog + V2X (the RSU tokens ride the digital LiDAR
@@ -169,6 +172,7 @@ class TestLidarVQ:
         assert float(jnp.max(jnp.abs(
             p0["cam_vq"]["codebook"] - p1["cam_vq"]["codebook"]))) > 0
 
+    @pytest.mark.slow
     def test_warmstart_c3vq_into_rl_trunk(self, key, tmp_path):
         """A c3_vq fusion checkpoint warm-starts the RL trunk's digital
         LiDAR firmware (to_code/codebook/from_code by name)."""

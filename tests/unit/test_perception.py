@@ -24,6 +24,7 @@ def _tiny(arch):
 
 @pytest.mark.parametrize("arch", ["vit"])  # cnn forward is subsumed by
 # test_gradients_reach_both_encoders below (same trunk, plus the backward)
+@pytest.mark.slow
 def test_perception_both_arches(key, arch):
     cfg = _tiny(arch)
     model = SemanticPerception(cfg)
@@ -36,6 +37,7 @@ def test_perception_both_arches(key, arch):
     assert np.all(np.isfinite(np.asarray(s)))
 
 
+@pytest.mark.slow
 def test_gradients_reach_both_encoders(key):
     """End-to-end grads flow through the channel into BOTH modality
     encoders — the end-to-end semantic-comm property (BASELINE.json:11)."""

@@ -43,6 +43,7 @@ class TestVQTrunk:
         q = dqn_lib.act(cfg, params, img, pts, mask, key)
         assert q.shape == (2,)
 
+    @pytest.mark.slow
     def test_gradients_reach_encoder_and_codebook(self, key):
         """TD loss gradients must flow through the straight-through path
         into the conv trunk, and the sown VQ loss must move the codebook
@@ -79,6 +80,7 @@ class TestVQTrunk:
         a = dqn_lib.act(coded_cfg, base, img, pts, mask, key)
         assert a.shape == (2,)
 
+    @pytest.mark.slow
     def test_channel_errors_change_tokens_at_low_snr(self, key):
         """At -5 dB the digital link must corrupt indices (nonzero index
         error rate sown by the trunk); at ideal kind it must not."""
@@ -102,6 +104,7 @@ class TestVQTrunk:
                      ["index_error_rate"][0])
         assert err0 == 0.0
 
+    @pytest.mark.slow
     def test_codebook_seeding(self, key):
         """seed_vq_codebook_params replaces the tight default-init cluster
         with rows drawn from the encoder's output distribution."""
@@ -121,6 +124,7 @@ class TestVQTrunk:
                     for a, b in zip(f0, f1))
         assert diffs == 1
 
+    @pytest.mark.slow
     def test_warmstart_from_vq_codec_checkpoint(self, key, tmp_path):
         """A c1_vq reconstruction checkpoint warm-starts the RL trunk's
         cam_vq submodule subtree-by-name."""
@@ -146,6 +150,7 @@ class TestVQTrunk:
                     warm["perception"]["cam_vq"][k])[0]),
                 np.asarray(jax.tree_util.tree_leaves(src[k])[0]))
 
+    @pytest.mark.slow
     def test_ppo_update_with_vq(self, key):
         from multimodal_sc_tpu.rl import ppo as ppo_lib
 

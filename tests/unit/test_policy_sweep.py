@@ -31,6 +31,7 @@ def _params(cfg, key):
 @pytest.mark.parametrize(
     "preset",
     ["c4", pytest.param("c5", marks=pytest.mark.slow)])
+@pytest.mark.slow
 def test_sweep_shapes_and_pairing(key, preset):
     cfg = get_preset(preset).override_str(TINY)
     params = _params(cfg, key)
@@ -81,6 +82,7 @@ def test_cli_eval_policy_snr_sweep(tmp_path, capsys):
     assert [r["snr_db"] for r in curves["ideal"]] == [0.0, 10.0]
 
 
+@pytest.mark.slow
 def test_awgn_snr_actually_reaches_the_channel(key):
     """At -30 dB the channel output is noise-dominated; the greedy actions
     of a fixed net must differ from the +30 dB actions for at least one

@@ -53,6 +53,7 @@ def test_dqn_sample_snr_range_and_flag(key):
         msc.get_preset("c4").override_str(TINY), key, 4) is None
 
 
+@pytest.mark.slow
 def test_dqn_iteration_under_random_snr(key):
     cfg = msc.get_preset("c4").override_str(TINY + ROBUST)
     state = dqn_lib.init(cfg, key, 4)

@@ -38,6 +38,7 @@ def _tiny_cfg(**channel_overrides):
 
 
 class TestDamageEstimator:
+    @pytest.mark.slow
     def test_matches_exact_jacobian(self, key):
         """E over probes of the VJP estimate == mean_b ||J_t de_b||^2,
         computed exactly with jacrev on a tiny model."""

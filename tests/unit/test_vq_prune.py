@@ -146,6 +146,7 @@ class TestPrunedPipeline:
                                    atol=1e-6)
         assert abs(float(aux["token_keep_frac"]) - 0.25) < 1e-6
 
+    @pytest.mark.slow
     def test_drop_damage_matches_exact_jacobian(self, key):
         """token_drop_damage's probe estimator converges to the exact
         ‖J_t (mask_embed − e_t)‖² computed column-by-column with jacrev
