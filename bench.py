@@ -69,10 +69,17 @@ def main() -> None:
     # recorded spread documents the noise the regression gate must clear.
     # Rounds thread state output->input: back-to-back identical dispatches
     # get deduplicated by the tunnel (BASELINE.md measurement methodology).
+    # r5 (VERDICT r4 weak 3 / item 9): FIVE rounds instead of three — the
+    # r4 in-bench act spread (5.8% peak-to-peak) exceeded the 4% gate
+    # margin, so a median-of-3 could still be flipped by two hiccups in
+    # one bench. Timing cost of the extra rounds is ~4 s against the
+    # ~10 min compile-dominated bench wall; the median of 5 rejects two
+    # bad rounds. act+learn (spread ~0.5%) is the PRIMARY regression
+    # signal per BASELINE.md; the act gate keeps its 4% margin.
     for it in (it_act, it_learn):
         state, m = it(state)
         jax.block_until_ready(m)
-    rounds = 3
+    rounds = 5
     act_r, al_r = [], []
     for _ in range(rounds):
         state, r = timed_round(it_act, state, num_envs)

@@ -184,6 +184,13 @@ def main(argv=None) -> int:
                         "channel/harq.py) deployment curve for a VQ codec: "
                         "PSNR + adaptive bandwidth vs SNR on the same "
                         "checkpoint")
+    e.add_argument("--entropy-sweep", action="store_true",
+                   dest="entropy_sweep",
+                   help="entropy-aware index-transport study on the "
+                        "digital BEV codec (lidar.arch=vq): fixed "
+                        "8-bit/token vs trained-distribution Huffman VLC "
+                        "vs top-16 re-alphabet, same checkpoint, exact "
+                        "symbol accounting (r5)")
     e.add_argument("--keep-sweep", action="store_true", dest="keep_sweep",
                    help="PSNR-vs-kept-token-fraction curve for a token-"
                         "pruned VQ codec (camera.vq_prune configs only; "
@@ -203,6 +210,10 @@ def main(argv=None) -> int:
     pe.add_argument("--set", action="append", default=[], dest="overrides")
     pe.add_argument("--episodes", type=int, default=32)
     pe.add_argument("--seed", type=int, default=0)
+    pe.add_argument("--temperature", type=float, default=1.0,
+                    help="PPO sampled-mode logit temperature (deployment "
+                         "sharpening study, r5): 1.0 = trained policy, "
+                         "-> 0 approaches argmax")
     pe.add_argument("--sample", action="store_true",
                     help="PPO: sample the policy instead of argmax (the "
                          "training-time behavior; argmax of a high-entropy "
@@ -343,9 +354,10 @@ def main(argv=None) -> int:
             if args.snr_sweep:
                 return _policy_sweep_and_print(cfg, params, key, args,
                                                sample=args.sample)
-            out = policy_eval.evaluate_ppo(cfg, params, key,
-                                           num_envs=args.episodes,
-                                           greedy=not args.sample)
+            out = policy_eval.evaluate_ppo(
+                cfg, params, key, num_envs=args.episodes,
+                greedy=not args.sample,
+                temperature=getattr(args, "temperature", 1.0))
         print(json.dumps(out))
         return 0
 
@@ -465,6 +477,37 @@ def main(argv=None) -> int:
                 target = occupancy_target(pts, mask, lid.bev_hw,
                                           lid.x_range, lid.y_range)
             kinds = tuple(k.strip() for k in args.kinds.split(","))
+            if getattr(args, "keep_sweep", False):
+                if not cfg.lidar.vq_prune:
+                    print("--keep-sweep on the fusion task requires "
+                          "lidar.vq_prune=true", file=sys.stderr)
+                    return 2
+                curves = snr_sweep.sweep_lidar_vq_keep(
+                    cfg, state.params["lidar"], pts, mask, target,
+                    jax.random.fold_in(key, 0x6EEB))
+                for sel, rows in curves.items():
+                    print(f"select={sel}:")
+                    for row in rows:
+                        print(json.dumps(row))
+                if args.out:
+                    snr_sweep.save_curves(curves, args.out)
+                return 0
+            if getattr(args, "entropy_sweep", False):
+                if cfg.lidar.arch != "vq":
+                    print("--entropy-sweep requires lidar.arch=vq",
+                          file=sys.stderr)
+                    return 2
+                curves = snr_sweep.sweep_lidar_vq_entropy(
+                    cfg, state.params["lidar"], pts, mask, target,
+                    jax.random.fold_in(key, 0xE27), kinds=kinds)
+                print(json.dumps(curves["calibration"]))
+                for kind in kinds:
+                    print(f"{kind}: mIoU full/vlc/fixed + syms:")
+                    for row in curves[kind]:
+                        print(json.dumps(row))
+                if args.out:
+                    snr_sweep.save_curves(curves, args.out)
+                return 0
             cam_curves = snr_sweep.sweep_camera(
                 cam_model, state.params["camera"], images, key,
                 kinds=kinds,

@@ -242,6 +242,18 @@ class LidarBEVVQCodec(nn.Module):
     vq_codes: int = 256
     vq_dim: int = 32
     vq_beta: float = 0.25
+    # Codebook-usage regularization + dead-code re-seeding (r5 — the fix
+    # for this codec's measured collapse to perplexity 6.8/256, VERDICT
+    # r4 item 1; semantics in config/configs.py LidarCodecConfig).
+    vq_usage_coef: float = 0.0
+    vq_usage_temp: float = 0.5
+    vq_reseed: float = 0.0
+    # Semantic token pruning (r5, VERDICT r4 item 5 — the BEV
+    # counterpart of camera.vq_prune): train with per-example random
+    # token dropping + a learned receiver mask embedding; deploy at any
+    # kept fraction (channel.token_keep / token_select). Dropped tokens
+    # transmit ZERO symbols (bandwidth elasticity).
+    vq_prune: bool = False
     seg_classes: int = 1
     x_range: Tuple[float, float] = (0.0, 48.0)
     y_range: Tuple[float, float] = (-12.0, 12.0)
@@ -273,6 +285,11 @@ class LidarBEVVQCodec(nn.Module):
             (self.vq_codes, self.vq_dim))
         self.from_code = nn.Dense(self.pillar_dim, dtype=self.dtype,
                                   name="from_code")
+        if self.vq_prune:
+            # Receiver-side placeholder for untransmitted tokens; trained
+            # because dropped positions forward through it.
+            self.mask_embed = self.param(
+                "mask_embed", nn.initializers.normal(0.02), (self.vq_dim,))
         self.dec_backbone = BEVBackbone(
             features=(self.pillar_dim, self.pillar_dim), dtype=self.dtype)
         self.occ_head = nn.Dense(max(self.seg_classes, 1), dtype=self.dtype)
@@ -289,7 +306,8 @@ class LidarBEVVQCodec(nn.Module):
 
         z_e = self.encode_features(points, mask)
         z_ste, idx, vq_loss = vector_quantize(
-            z_e, self.codebook, self.vq_beta)
+            z_e, self.codebook, self.vq_beta,
+            usage_coef=self.vq_usage_coef, usage_temp=self.vq_usage_temp)
         b, h, w, _ = z_e.shape
         return (idx.reshape(b, h * w), vq_loss,
                 z_ste.reshape(b, h * w, self.vq_dim))
@@ -306,20 +324,120 @@ class LidarBEVVQCodec(nn.Module):
         """(B, N) received indices -> logits (pure receiver path)."""
         return self.codes_to_logits(self.codebook[idx])
 
-    def __call__(self, points: Array, mask: Array, snr_db, key: Array):
-        """(logits, aux) through the full digital pipeline, one graph."""
-        from multimodal_sc_tpu.codec.semantic_vq import transmit_indices
+    def token_drop_damage(self, idx_tx: Array, key: Array) -> Array:
+        """Per-token expected squared BEV-logit damage when the token is
+        NOT transmitted and the receiver decodes the mask embedding
+        instead: D_t = ||J_t (mask_embed - e_{idx_t})||^2, estimated with
+        ``channel_cfg.uep_probes`` unbiased VJP probes — the BEV port of
+        VQCameraJSCC.token_drop_damage (same estimator, logit-space
+        cotangents). Requires vq_prune."""
+        z_clean = self.codebook[idx_tx]                    # (B, N, D)
+        _, vjp_fn = nn.vjp(
+            lambda m, z: m.codes_to_logits(z), self, z_clean,
+            vjp_variables=False)
+        delta = self.mask_embed[None, None, :] - z_clean   # (B, N, D)
+        b = idx_tx.shape[0]
+        h, w = self.bev_hw
+        probes = (self.channel_cfg.uep_probes
+                  if self.channel_cfg is not None else 2)
+        v = jax.random.normal(
+            key, (probes, b, h, w, max(self.seg_classes, 1)), jnp.float32)
+        g = jax.vmap(lambda vv: vjp_fn(vv)[1])(v)          # (P, B, N, D)
+        dot = jnp.einsum("pbnd,bnd->pbn", g, delta)
+        return jax.lax.stop_gradient(jnp.mean(dot * dot, axis=0))
 
-        idx_tx, vq_loss, z_ste = self.encode_tokens(points, mask)
-        idx_rx = transmit_indices(self.channel_cfg, idx_tx, self.vq_codes,
-                                  snr_db, key)
-        err = jnp.mean((idx_rx != idx_tx).astype(jnp.float32))
+    def __call__(self, points: Array, mask: Array, snr_db, key: Array,
+                 keep=None, select=None):
+        """(logits, aux) through the full digital pipeline, one graph.
+        With ``vq_reseed > 0`` aux also carries the dead-code re-seeding
+        stats (``vq_counts``/``vq_candidates``) for the fusion train
+        driver (train/fusion_jscc.py; r5 usage fix).
+
+        ``keep``: optional (B,) kept-token fractions (vq_prune models —
+        the training driver passes random fractions; at deploy ``None``
+        falls back to channel_cfg.token_keep with channel_cfg.token_select
+        ranking). ``select``: selection-rule override; see
+        VQCameraJSCC.__call__ — on the BEV grid the same four rules apply
+        (scatter / random / drop_damage / drop_damage_scatter)."""
+        from multimodal_sc_tpu.codec.semantic_vq import (
+            farthest_point_order,
+            topk_mask,
+            transmit_indices,
+            vector_quantize,
+        )
+
+        ch = self.channel_cfg
+        vq_stats = None
+        if self.vq_reseed > 0:
+            z_e = self.encode_features(points, mask)
+            z_ste, idx_tx, vq_loss, vq_stats = vector_quantize(
+                z_e, self.codebook, self.vq_beta,
+                usage_coef=self.vq_usage_coef,
+                usage_temp=self.vq_usage_temp, with_stats=True)
+            b, gh, gw, _ = z_e.shape
+            idx_tx = idx_tx.reshape(b, gh * gw)
+            z_ste = z_ste.reshape(b, gh * gw, self.vq_dim)
+        else:
+            idx_tx, vq_loss, z_ste = self.encode_tokens(points, mask)
+        n_tok = idx_tx.shape[1]
+        if keep is None and self.vq_prune and ch is not None \
+                and ch.token_keep < 1.0:
+            keep = jnp.full((idx_tx.shape[0],), ch.token_keep, jnp.float32)
+        if keep is not None and not self.vq_prune:
+            raise ValueError("keep requires lidar.vq_prune=true")
+        kept = None
+        if self.vq_prune and keep is not None:
+            m = jnp.ceil(keep * n_tok).astype(jnp.int32)
+            if select is None:
+                select = ch.token_select if ch is not None else "scatter"
+            gh, gw = self.bev_hw
+            if select == "drop_damage":
+                scores = self.token_drop_damage(
+                    idx_tx, jax.random.fold_in(key, 88))
+            elif select == "scatter":
+                scores = jnp.broadcast_to(
+                    -jnp.asarray(farthest_point_order(gh, gw),
+                                 jnp.float32), idx_tx.shape)
+            elif select == "drop_damage_scatter":
+                dmg = self.token_drop_damage(
+                    idx_tx, jax.random.fold_in(key, 88))
+                dmg_rank = jnp.argsort(jnp.argsort(-dmg, axis=1), axis=1)
+                sc_rank = jnp.broadcast_to(
+                    jnp.asarray(farthest_point_order(gh, gw), jnp.int32),
+                    idx_tx.shape)
+                scores = -(dmg_rank + sc_rank).astype(jnp.float32)
+            elif select == "random":
+                scores = jax.random.uniform(
+                    jax.random.fold_in(key, 88), idx_tx.shape)
+            else:
+                raise ValueError(
+                    f"unsupported BEV token_select {select!r}")
+            kept = topk_mask(scores, m)                    # (B, N) bool
+        idx_rx = transmit_indices(
+            ch, idx_tx, self.vq_codes, snr_db, key,
+            token_weights=(kept.astype(jnp.float32)
+                           if kept is not None else None))
+        err = (idx_rx != idx_tx).astype(jnp.float32)
         z_rx = z_ste + jax.lax.stop_gradient(self.codebook[idx_rx] - z_ste)
+        if kept is not None:
+            # Untransmitted positions decode as the learned mask
+            # embedding; error rate counts transmitted tokens only.
+            me = jnp.broadcast_to(self.mask_embed, z_rx.shape)
+            z_rx = jnp.where(kept[..., None], z_rx, me.astype(z_rx.dtype))
+            kf = kept.astype(jnp.float32)
+            idx_err = jnp.sum(err * kf) / jnp.maximum(jnp.sum(kf), 1.0)
+        else:
+            idx_err = jnp.mean(err)
         logits = self.codes_to_logits(z_rx)
         p = jnp.mean(jax.nn.one_hot(idx_tx, self.vq_codes), axis=(0, 1))
         perplexity = jnp.exp(-jnp.sum(p * jnp.log(p + 1e-10)))
-        aux = {"vq_loss": vq_loss, "index_error_rate": err,
+        aux = {"vq_loss": vq_loss, "index_error_rate": idx_err,
                "code_perplexity": perplexity}
+        if kept is not None:
+            aux["token_keep_frac"] = jnp.mean(kept.astype(jnp.float32))
+        if vq_stats is not None:
+            aux["vq_counts"] = vq_stats["counts"]
+            aux["vq_candidates"] = vq_stats["candidates"]
         return logits, aux
 
     @property

@@ -95,11 +95,60 @@ def topk_mask(scores: Array, m: Array) -> Array:
     return rank < m[:, None]
 
 
-def vector_quantize(z_e: Array, codebook: Array, beta: float = 0.25):
+USAGE_SAMPLE_WEIGHT = 0.0
+
+
+def vq_usage_loss(d2: Array, temp: float = 0.5,
+                  sample_weight: float = None) -> Array:
+    """Codebook-usage regularizer on SOFT assignments: with
+    q_i = softmax(-d2_i / s), minimize
+    ``sample_weight * mean_i H(q_i) - H(mean_i q_i)``.
+
+    The DIVERSITY term (-H(q̄)) is the load-bearing half: its gradient
+    pulls rarely used codes toward the data (and the encoder toward
+    them), directly fighting the collapse measured in r4 (BEV codebook
+    perplexity 6.8/256, VERDICT r4 item 1). The per-sample CONFIDENCE
+    term (the MaskGIT/VQGAN pairing) guards the degenerate
+    all-q-uniform solution — but measured on the tiny-c3 probe
+    (results_r5/probe_vq_usage.json) at weight 1.0 it DOMINATED and
+    collapsed perplexity 34 -> 4.7 while costing 0.18 mIoU, so the
+    default here is diversity-only (the commitment loss already supplies
+    the confidence pressure in a VQ pipeline). Differentiable w.r.t.
+    both encoder features and the codebook; zero extra state.
+
+    The softmax scale is ``temp * mean(d2)`` (stop-gradiented), so the
+    knob is dimensionless and the softness tracks the feature scale as
+    training moves it — with raw d2 logits the softmax saturates one-hot
+    and every gradient here dies.
+    """
+    if sample_weight is None:
+        sample_weight = USAGE_SAMPLE_WEIGHT
+    scale = temp * jax.lax.stop_gradient(jnp.mean(d2)) + 1e-9
+    logp = jax.nn.log_softmax(-d2 / scale, axis=-1)
+    p = jnp.exp(logp)
+    avg = jnp.mean(p.reshape(-1, p.shape[-1]), axis=0)
+    avg_ent = -jnp.sum(avg * jnp.log(avg + 1e-9))
+    if sample_weight == 0.0:
+        return -avg_ent
+    sample_ent = -jnp.mean(jnp.sum(p * logp, axis=-1))
+    return sample_weight * sample_ent - avg_ent
+
+
+def vector_quantize(z_e: Array, codebook: Array, beta: float = 0.25,
+                    usage_coef: float = 0.0, usage_temp: float = 0.5,
+                    with_stats: bool = False):
     """Nearest-code quantization with STE + codebook/commitment losses.
 
     z_e (..., D), codebook (K, D) -> (z_ste, indices int32, vq_loss).
     The distance search is one (B*N, K) matmul — MXU-friendly.
+
+    ``usage_coef > 0`` adds :func:`vq_usage_loss` (codebook-usage
+    regularization, r5 — VERDICT r4 item 1). ``with_stats=True`` (static)
+    additionally returns ``{"counts": (K,), "candidates": (K, D)}`` for
+    dead-code re-seeding: counts is the batch usage histogram and
+    candidates are the K encoder outputs with the LARGEST quantization
+    error (k-means++-style re-init targets — revive dead codes exactly
+    where the codebook covers the data worst), both stop-gradiented.
     """
     dim = codebook.shape[1]
     flat = z_e.reshape(-1, dim)
@@ -108,12 +157,41 @@ def vector_quantize(z_e: Array, codebook: Array, beta: float = 0.25):
           + jnp.sum(codebook * codebook, axis=1)[None, :])   # (BN, K)
     idx = jnp.argmin(d2, axis=1)
     z_q = codebook[idx].reshape(z_e.shape)
-    idx = idx.reshape(z_e.shape[:-1]).astype(jnp.int32)
     codebook_loss = jnp.mean(jnp.square(jax.lax.stop_gradient(z_e) - z_q))
     commit_loss = jnp.mean(jnp.square(z_e - jax.lax.stop_gradient(z_q)))
     vq_loss = codebook_loss + beta * commit_loss
+    if usage_coef > 0:
+        vq_loss = vq_loss + usage_coef * vq_usage_loss(d2, usage_temp)
     z_ste = z_e + jax.lax.stop_gradient(z_q - z_e)
+    if with_stats:
+        k = codebook.shape[0]
+        counts = jnp.zeros((k,), jnp.int32).at[idx].add(1)
+        err = d2[jnp.arange(flat.shape[0]), idx]             # (BN,)
+        _, worst = jax.lax.top_k(err, k)
+        stats = {"counts": jax.lax.stop_gradient(counts),
+                 "candidates": jax.lax.stop_gradient(flat[worst])}
+        idx_r = idx.reshape(z_e.shape[:-1]).astype(jnp.int32)
+        return z_ste, idx_r, vq_loss, stats
+    idx = idx.reshape(z_e.shape[:-1]).astype(jnp.int32)
     return z_ste, idx, vq_loss
+
+
+def reseed_dead_codes(codebook: Array, counts: Array, candidates: Array,
+                      key: Array, rate: float):
+    """Dead-code re-seeding (r5, VERDICT r4 item 1 — the VQ-VAE-v2-style
+    revival half of the usage fix): each code UNUSED in the current batch
+    jumps, with probability ``rate`` per step, to one of the batch's
+    highest-quantization-error encoder outputs (``candidates`` from
+    :func:`vector_quantize` ``with_stats``). Batch sizes here put 4k-33k
+    assignments per step against <=256 codes, so zero batch usage means
+    dead-or-very-rare; the coin keeps rare-but-alive codes from
+    thrashing. Returns ``(new_codebook, n_reseeded)``."""
+    dead = counts < 1
+    coin = jax.random.uniform(key, counts.shape) < rate
+    take = dead & coin
+    new_cb = jnp.where(take[:, None], candidates.astype(codebook.dtype),
+                       codebook)
+    return new_cb, jnp.sum(take.astype(jnp.int32))
 
 
 class VectorQuantizer(nn.Module):
@@ -163,6 +241,28 @@ def transmit_indices(ch, idx_tx: Array, codes: int, snr_db, key: Array,
         return indices_from_bits(
             hamming74_decode_soft(qpsk_soft_bits(y)), codes)
     return qpsk_to_indices(y, codes, idx_tx.shape[1])
+
+
+def transmit_indices_harq(ch, idx_tx: Array, codes: int, snr_db,
+                          key: Array):
+    """Type-I HARQ variant of :func:`transmit_indices` (r5, VERDICT r4
+    item 4 — the protocol stack on the CONTROL path): (B, N) indices ->
+    bits -> CRC-8 blocks over QPSK with chase-combined retransmissions
+    (channel/harq.py) -> received indices. Returns ``(idx_rx, info)``
+    where info carries the exact adaptive-bandwidth accounting
+    (symbols_per_item / mean_rounds / residual_fail_rate). Uncoded bits +
+    CRC, like the c1_vq HARQ evaluator (`cli eval --harq-sweep`);
+    channel.fec is rejected in combination (config validate)."""
+    from multimodal_sc_tpu.channel.harq import harq_transmit
+
+    bits = bits_from_indices(idx_tx, codes)
+    kw = channel_kwargs(ch)
+    kw["normalize"] = False               # QPSK is exactly unit power
+    kw["modulation"] = 0                  # mapping already digital
+    bits_rx, info = harq_transmit(
+        bits, snr_db, ch.kind, key, block_bits=ch.harq_block_bits,
+        max_rounds=ch.harq_rounds, **kw)
+    return indices_from_bits(bits_rx, codes), info
 
 
 class VQCameraJSCC(nn.Module):
@@ -246,9 +346,11 @@ class VQCameraJSCC(nn.Module):
     def encode_tokens(self, img: Array):
         """Image -> (indices (B, N) int32, vq_loss, z_ste (B, N, D)).
         The transmitter; indices are the over-the-air payload."""
+        cam = self.cfg.camera
         z_e = self.encode_features(img)                    # (B, h, w, D)
         z_ste, idx, vq_loss = vector_quantize(
-            z_e, self.codebook, self.cfg.camera.vq_beta)
+            z_e, self.codebook, cam.vq_beta,
+            usage_coef=cam.vq_usage_coef, usage_temp=cam.vq_usage_temp)
         b, h, w, _ = z_e.shape
         return (idx.reshape(b, h * w), vq_loss,
                 z_ste.reshape(b, h * w, self.cfg.camera.vq_dim))
@@ -415,7 +517,22 @@ class VQCameraJSCC(nn.Module):
         probes); deployment ranks by damage.
         """
         cfg = self.cfg
-        idx_tx, vq_loss, z_ste = self.encode_tokens(img)
+        cam = cfg.camera
+        if cam.vq_reseed > 0:
+            # Training graph wants dead-code stats for the driver's
+            # re-seeding step (train/jscc.py; r5 usage fix) — inline the
+            # quantization so counts/candidates come back with the rest.
+            z_e = self.encode_features(img)
+            z_ste, idx_tx, vq_loss, vq_stats = vector_quantize(
+                z_e, self.codebook, cam.vq_beta,
+                usage_coef=cam.vq_usage_coef, usage_temp=cam.vq_usage_temp,
+                with_stats=True)
+            b, gh, gw, _ = z_e.shape
+            idx_tx = idx_tx.reshape(b, gh * gw)
+            z_ste = z_ste.reshape(b, gh * gw, cam.vq_dim)
+        else:
+            idx_tx, vq_loss, z_ste = self.encode_tokens(img)
+            vq_stats = None
         n_tok = idx_tx.shape[1]
         prune = cfg.camera.vq_prune
         if keep is None and prune and cfg.channel.token_keep < 1.0:
@@ -501,6 +618,11 @@ class VQCameraJSCC(nn.Module):
         perplexity = jnp.exp(-jnp.sum(p * jnp.log(p + 1e-10)))
         aux = {"vq_loss": vq_loss, "index_error_rate": idx_err,
                "code_perplexity": perplexity}
+        if vq_stats is not None:
+            # Dead-code re-seeding inputs for the train driver (r5 usage
+            # fix); stripped from metrics there.
+            aux["vq_counts"] = vq_stats["counts"]
+            aux["vq_candidates"] = vq_stats["candidates"]
         if cfg.channel.uep_alpha > 0:
             # Observability: how nonuniform the allocation actually is
             # (std of per-token power around its unit mean).
@@ -532,6 +654,11 @@ class VQEncoderTokens(nn.Module):
     vq_dim: int
     vq_codes: int
     vq_beta: float = 0.25
+    # Codebook-usage regularization + dead-code re-seeding stats (r5 —
+    # see CameraCodecConfig; the RL learners consume the sown stats).
+    vq_usage_coef: float = 0.0
+    vq_usage_temp: float = 0.5
+    vq_reseed: float = 0.0
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -555,10 +682,23 @@ class VQEncoderTokens(nn.Module):
         return self.to_code(x).astype(jnp.float32)
 
     def __call__(self, img: Array):
-        """Image -> (indices (B, N) int32, vq_loss, z_ste (B, N, D))."""
+        """Image -> (indices (B, N) int32, vq_loss, z_ste (B, N, D)).
+        With ``vq_reseed > 0`` the batch usage histogram and the
+        re-seeding candidates are sown as intermediates for the RL
+        learners' dead-code re-seeding step (rl/dqn.py, rl/ppo.py)."""
         z_e = self.encode_features(img)                    # (B, h, w, D)
-        z_ste, idx, vq_loss = vector_quantize(
-            z_e, self.codebook, self.vq_beta)
+        if self.vq_reseed > 0:
+            z_ste, idx, vq_loss, stats = vector_quantize(
+                z_e, self.codebook, self.vq_beta,
+                usage_coef=self.vq_usage_coef,
+                usage_temp=self.vq_usage_temp, with_stats=True)
+            self.sow("intermediates", "vq_counts", stats["counts"])
+            self.sow("intermediates", "vq_candidates", stats["candidates"])
+        else:
+            z_ste, idx, vq_loss = vector_quantize(
+                z_e, self.codebook, self.vq_beta,
+                usage_coef=self.vq_usage_coef,
+                usage_temp=self.vq_usage_temp)
         b, h, w, _ = z_e.shape
         return (idx.reshape(b, h * w), vq_loss,
                 z_ste.reshape(b, h * w, self.vq_dim))

@@ -85,11 +85,19 @@ def evaluate_dqn(cfg: ExperimentConfig, params, key: Array,
 
 
 def evaluate_ppo(cfg: ExperimentConfig, params, key: Array,
-                 num_envs: int = 32, greedy: bool = True) -> Dict[str, float]:
-    """PPO policy (argmax or sampled), episodes to cfg.env.max_steps."""
+                 num_envs: int = 32, greedy: bool = True,
+                 temperature: float = 1.0) -> Dict[str, float]:
+    """PPO policy (argmax or sampled), episodes to cfg.env.max_steps.
+
+    ``temperature`` scales the sampling logits (sampled mode only): the
+    deployment-sharpening study of VERDICT r4 item 7 — T=1 is the trained
+    policy, T->0 approaches argmax; if return degrades monotonically as
+    T -> 0, the policy's stochasticity is load-bearing and no
+    deterministic deployment within the sampled band exists."""
     from multimodal_sc_tpu.rl.perception import ActorCritic
 
     ac = ActorCritic(cfg)
+    inv_t = 1.0 / max(temperature, 1e-6)
 
     def act_fn(params, img, pts, mask, k, v2x_off):
         k_net, k_smp = jax.random.split(k)
@@ -97,6 +105,7 @@ def evaluate_ppo(cfg: ExperimentConfig, params, key: Array,
                              v2x_offset_db=v2x_off)
         if greedy:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return jax.random.categorical(k_smp, logits).astype(jnp.int32)
+        return jax.random.categorical(k_smp, logits * inv_t).astype(
+            jnp.int32)
 
     return _rollout_returns(cfg, params, act_fn, key, num_envs)

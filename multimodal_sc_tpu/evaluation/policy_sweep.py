@@ -36,41 +36,57 @@ def _sweep_one_kind(cfg: ExperimentConfig, params, act_fn, key: Array,
     """Rollout `num_envs` full episodes at each SNR; one compile for all.
     Params, fog range (in the env states), and the V2X link offset are
     runtime args too, so checkpoints and fog/V2X deployment variants of a
-    config family share the executable (VERDICT r3 item 5)."""
+    config family share the executable (VERDICT r3 item 5).
+
+    ``act_fn`` returns ``(action, stats)`` where stats is a (possibly
+    empty) dict of per-step scalars — e.g. the HARQ adaptive-bandwidth
+    accounting (r5, VERDICT r4 item 4) — accumulated over the rollout and
+    reported as per-step means in each row."""
     k_env, k_run = jax.random.split(key)
     states0 = driving.reset_batch(cfg.env, k_env, num_envs)
     v2x_off = jnp.float32(cfg.channel.v2x_snr_offset_db)
+    img0, pts0, mask0 = driving.observe_batch(cfg.env, states0)
+    _, stats0 = jax.eval_shape(
+        act_fn, params, img0, pts0, mask0, jax.random.key(0),
+        jnp.zeros((num_envs,), jnp.float32), v2x_off)
+    zero_stats = jax.tree_util.tree_map(
+        lambda x: jnp.zeros(x.shape, x.dtype), stats0)
 
     @jax.jit
     def rollout(params, states, key, snr_db, v2x_off):
         snr_vec = jnp.full((num_envs,), snr_db, jnp.float32)
 
         def body(carry, _):
-            states, key, ret, done_seen = carry
+            states, key, ret, done_seen, acc = carry
             key, k = jax.random.split(key)
             img, pts, mask = driving.observe_batch(cfg.env, states)
-            a = act_fn(params, img, pts, mask, k, snr_vec, v2x_off)
+            a, stats = act_fn(params, img, pts, mask, k, snr_vec, v2x_off)
+            acc = jax.tree_util.tree_map(lambda a_, b: a_ + b, acc, stats)
             states, ts = driving.step_batch(cfg.env, states, a)
             ret = ret + ts.reward * (1.0 - done_seen)
             done_seen = jnp.maximum(done_seen, ts.done.astype(jnp.float32))
-            return (states, key, ret, done_seen), ts.reward
+            return (states, key, ret, done_seen, acc), ts.reward
 
-        init = (states, key, jnp.zeros(num_envs), jnp.zeros(num_envs))
-        (_, _, ret, done_seen), rewards = jax.lax.scan(
+        init = (states, key, jnp.zeros(num_envs), jnp.zeros(num_envs),
+                zero_stats)
+        (_, _, ret, done_seen, acc), rewards = jax.lax.scan(
             body, init, None, length=cfg.env.max_steps)
-        return ret, done_seen, rewards
+        return ret, done_seen, rewards, acc
 
     rows = []
     for snr in snrs:
-        ret, done_seen, rewards = rollout(params, states0, k_run,
-                                          jnp.float32(snr), v2x_off)
-        rows.append({
+        ret, done_seen, rewards, acc = rollout(params, states0, k_run,
+                                               jnp.float32(snr), v2x_off)
+        row = {
             "snr_db": float(snr),
             "episode_return_mean": float(jnp.mean(ret)),
             "episode_return_std": float(jnp.std(ret)),
             "episodes_terminated_frac": float(jnp.mean(done_seen)),
             "reward_per_step": float(jnp.mean(rewards)),
-        })
+        }
+        for name, v in acc.items():
+            row[name] = float(v) / cfg.env.max_steps
+        rows.append(row)
     return rows
 
 
@@ -87,6 +103,25 @@ def policy_snr_sweep(
     from argmax to sampled actions. The deployed channel kind/SNR override
     the training-time config; everything else (modulation, normalization)
     deploys as configured."""
+    # Link accounting (r5): under channel.harq the perception trunk sows
+    # the adaptive-bandwidth numbers per link call; the rollout pulls them
+    # through mutable=["intermediates"] and the rows report per-step
+    # means (`link_syms_per_step` sums the camera + LiDAR + V2X links).
+    collect_link = cfg.channel.harq
+
+    def _link_stats(col) -> Dict:
+        per = col["intermediates"]["perception"]
+        syms = list(per.get("harq_syms", ()))
+        if "cam_vq" in per:
+            syms += list(per["cam_vq"].get("harq_syms", ()))
+        rounds = list(per.get("harq_rounds", ()))
+        resid = list(per.get("harq_resid", ()))
+        return {
+            "link_syms_per_step": sum(syms),
+            "harq_mean_rounds": (sum(rounds) / max(len(rounds), 1)),
+            "harq_residual_fail_rate": (sum(resid) / max(len(resid), 1)),
+        }
+
     curves: Dict[str, List[Dict]] = {}
     for kind in kinds:
         cfg_k = cfg.override_str([f"channel.kind={kind}"])
@@ -97,13 +132,22 @@ def policy_snr_sweep(
 
             def act_fn(params, img, pts, mask, k, snr_vec, v2x_off, ac=ac):
                 k_net, k_smp = jax.random.split(k)
-                logits, _ = ac.apply({"params": params}, img, pts, mask,
-                                     k_net, snr_db=snr_vec,
-                                     v2x_offset_db=v2x_off)
+                stats = {}
+                if collect_link:
+                    (logits, _), col = ac.apply(
+                        {"params": params}, img, pts, mask, k_net,
+                        snr_db=snr_vec, v2x_offset_db=v2x_off,
+                        mutable=["intermediates"])
+                    stats = _link_stats(col)
+                else:
+                    logits, _ = ac.apply({"params": params}, img, pts, mask,
+                                         k_net, snr_db=snr_vec,
+                                         v2x_offset_db=v2x_off)
                 if sample:
-                    return jax.random.categorical(k_smp, logits).astype(
-                        jnp.int32)
-                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    a = jax.random.categorical(k_smp, logits)
+                else:
+                    a = jnp.argmax(logits, axis=-1)
+                return a.astype(jnp.int32), stats
         else:
             from multimodal_sc_tpu.rl.perception import QNetwork
 
@@ -113,12 +157,21 @@ def policy_snr_sweep(
             def act_fn(params, img, pts, mask, k, snr_vec, v2x_off, net=net,
                        n_actions=n_actions):
                 k_net, k_eps, k_rand = jax.random.split(k, 3)
-                q = net.apply({"params": params}, img, pts, mask, k_net,
-                              snr_db=snr_vec, v2x_offset_db=v2x_off)
+                stats = {}
+                if collect_link:
+                    q, col = net.apply(
+                        {"params": params}, img, pts, mask, k_net,
+                        snr_db=snr_vec, v2x_offset_db=v2x_off,
+                        mutable=["intermediates"])
+                    stats = _link_stats(col)
+                else:
+                    q = net.apply({"params": params}, img, pts, mask, k_net,
+                                  snr_db=snr_vec, v2x_offset_db=v2x_off)
                 greedy = jnp.argmax(q, axis=-1)
                 rand = jax.random.randint(k_rand, greedy.shape, 0, n_actions)
                 explore = jax.random.uniform(k_eps, greedy.shape) < epsilon
-                return jnp.where(explore, rand, greedy).astype(jnp.int32)
+                return (jnp.where(explore, rand, greedy).astype(jnp.int32),
+                        stats)
 
         curves[kind] = _sweep_one_kind(cfg_k, params, act_fn, key,
                                        num_envs, snrs)

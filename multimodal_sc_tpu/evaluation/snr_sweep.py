@@ -408,6 +408,181 @@ def sweep_lidar_vq(
     return results
 
 
+def sweep_lidar_vq_keep(
+    cfg, params, points: Array, mask: Array, occ_target: Array, key: Array,
+    keeps: Sequence[float] = (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 1.0),
+    selects: Sequence[str] = ("scatter", "random", "drop_damage",
+                              "drop_damage_scatter"),
+    batches_per_point: int = 4,
+) -> Dict[str, List[dict]]:
+    """Kept-token-fraction sweep for the PRUNED digital BEV codec
+    (lidar.vq_prune, r5 — VERDICT r4 item 5): mIoU at each deploy-time
+    keep fraction under each selection rule, at the config's deployed
+    SNR/kind. The BEV re-run of the r3 camera selection-rule study
+    (BASELINE.md token-pruning section: does spatial scatter still beat
+    importance ranking on the BEV grid?). Returns
+    ``{select: [{keep, miou}]}``."""
+    import functools
+
+    from multimodal_sc_tpu.train.fusion_jscc import build_lidar_codec
+
+    model = build_lidar_codec(cfg)
+    n_classes = cfg.lidar.seg_classes
+    results: Dict[str, List[dict]] = {}
+    for sel_i, select in enumerate(selects):
+
+        @functools.partial(jax.jit, static_argnames=("select",))
+        def point(params, keep, k, select):
+            snr_vec = jnp.full((points.shape[0],), cfg.channel.snr_db,
+                               jnp.float32)
+            kv = jnp.full((points.shape[0],), keep, jnp.float32)
+            logits, aux = model.apply({"params": params}, points, mask,
+                                      snr_vec, k, keep=kv, select=select)
+            if n_classes > 1:
+                pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                m = miou(pred, occ_target.astype(jnp.int32), n_classes)
+            else:
+                pred = (logits[..., 0] > 0).astype(jnp.int32)
+                m = miou(pred, occ_target.astype(jnp.int32), 2)
+            return m, aux["token_keep_frac"]
+
+        curve = []
+        for ki_, keep in enumerate(keeps):
+            mv = []
+            for b in range(batches_per_point):
+                k = jax.random.fold_in(key, sel_i * 100000 + ki_ * 100 + b)
+                m, kf = point(params, float(keep), k, select)
+                mv.append(float(m))
+            curve.append({"keep": float(keep), "miou": float(np.mean(mv)),
+                          "keep_frac_actual": float(kf)})
+        results[select] = curve
+    return results
+
+
+def sweep_lidar_vq_entropy(
+    cfg, params, points: Array, mask: Array, occ_target: Array, key: Array,
+    snrs_db: Sequence[float] = DEFAULT_SNRS,
+    kinds: Sequence[str] = ("awgn", "rayleigh"),
+    batches_per_point: int = 4,
+    keep_codes: int = 16,
+) -> Dict:
+    """Entropy-aware index transport study on the digital BEV codec (r5,
+    VERDICT r4 item 6): three parameter-transparent deployments of the
+    SAME checkpoint —
+
+    * ``full``  — the fixed 8-bit/token baseline (channel/digital.py),
+    * ``vlc``   — canonical Huffman driven by the trained code
+      distribution (channel/entropy_coding.py), exact per-image symbol
+      accounting, zero-power padding; the desync cost under errors is the
+      measured low-SNR story,
+    * ``fixed`` — top-``keep_codes`` re-alphabet (nearest-kept snap),
+      fixed log2(keep_codes) bits/token, no desync risk.
+
+    Calibration (the code histogram) uses the evaluation batch itself —
+    one encoder pass; a deployment would ship the table with the
+    checkpoint. Returns ``{"calibration": {...}, kinds...}`` where each
+    kind maps to rows ``{snr_db, miou_*, index_err_*, syms_*}``.
+    """
+    import functools
+
+    from multimodal_sc_tpu.channel.entropy_coding import (
+        build_huffman,
+        entropy_bits,
+        topk_remap,
+        transmit_vlc,
+    )
+    from multimodal_sc_tpu.codec.semantic_vq import transmit_indices
+    from multimodal_sc_tpu.train.fusion_jscc import build_lidar_codec
+
+    model = build_lidar_codec(cfg)
+    n_classes = cfg.lidar.seg_classes
+    codes = cfg.lidar.vq_codes
+
+    idx_cal, _, _ = model.apply({"params": params}, points, mask,
+                                method="encode_tokens")
+    n_tok = idx_cal.shape[1]
+    probs = (np.bincount(np.asarray(idx_cal).ravel(), minlength=codes)
+             / idx_cal.size)
+    codec = build_huffman(probs)
+    kept, full_to_small, _ = topk_remap(probs, params["codebook"],
+                                        keep_codes)
+    mean_bits = float(np.sum(probs * np.asarray(codec.code_len)))
+    calibration = {
+        "entropy_bits_per_token": entropy_bits(probs),
+        "huffman_mean_bits_per_token": mean_bits,
+        "code_perplexity": float(np.exp(
+            -np.sum(probs[probs > 0] * np.log(probs[probs > 0])))),
+        "keep_codes": int(keep_codes),
+        "topk_mass": float(np.sort(probs)[::-1][:keep_codes].sum()),
+        "fixed_bits_per_token": float(np.log2(codes)),
+    }
+
+    def _miou(logits):
+        if n_classes > 1:
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return miou(pred, occ_target.astype(jnp.int32), n_classes)
+        pred = (logits[..., 0] > 0).astype(jnp.int32)
+        return miou(pred, occ_target.astype(jnp.int32), 2)
+
+    ch_kw = dict(pilots=cfg.channel.pilots,
+                 subcarriers=cfg.channel.ofdm_subcarriers,
+                 taps=cfg.channel.ofdm_taps)
+    results: Dict = {"calibration": calibration}
+    for ki, kind in enumerate(kinds):
+        cfg_k = cfg.override_str([f"channel.kind={kind}"])
+
+        @functools.partial(jax.jit)
+        def point(params, snr_db, k):
+            snr_vec = jnp.full((points.shape[0],), snr_db, jnp.float32)
+            idx_tx, _, _ = model.apply({"params": params}, points, mask,
+                                       method="encode_tokens")
+            out = {}
+            # full-alphabet fixed-length baseline
+            rx_full = transmit_indices(cfg_k.channel, idx_tx, codes,
+                                       snr_vec, jax.random.fold_in(k, 0))
+            out["miou_full"] = _miou(model.apply(
+                {"params": params}, rx_full, method="decode_tokens"))
+            out["index_err_full"] = jnp.mean(
+                (rx_full != idx_tx).astype(jnp.float32))
+            # Huffman VLC
+            rx_vlc, info = transmit_vlc(
+                codec, idx_tx, snr_vec, kind, jax.random.fold_in(k, 1),
+                n_tok, **ch_kw)
+            out["miou_vlc"] = _miou(model.apply(
+                {"params": params}, rx_vlc, method="decode_tokens"))
+            out["index_err_vlc"] = jnp.mean(
+                (rx_vlc != idx_tx).astype(jnp.float32))
+            out["syms_vlc"] = info["symbols_per_item"]
+            out["bits_per_token_vlc"] = info["bits_per_token"]
+            # top-k re-alphabet
+            small_tx = full_to_small[idx_tx]
+            small_rx = transmit_indices(cfg_k.channel, small_tx,
+                                        keep_codes, snr_vec,
+                                        jax.random.fold_in(k, 2))
+            rx_fixed = kept[small_rx]
+            out["miou_fixed"] = _miou(model.apply(
+                {"params": params}, rx_fixed, method="decode_tokens"))
+            out["index_err_fixed"] = jnp.mean(
+                (rx_fixed != kept[small_tx]).astype(jnp.float32))
+            return out
+
+        curve = []
+        for si, snr_db in enumerate(snrs_db):
+            acc: Dict[str, list] = {}
+            for b in range(batches_per_point):
+                k = jax.random.fold_in(key, ki * 100000 + si * 100 + b)
+                o = point(params, float(snr_db), k)
+                for name, v in o.items():
+                    acc.setdefault(name, []).append(float(v))
+            row = {"snr_db": float(snr_db)}
+            row.update({name: float(np.mean(v)) for name, v in acc.items()})
+            row["syms_full"] = n_tok * float(np.log2(codes)) / 2
+            row["syms_fixed"] = n_tok * float(np.log2(keep_codes)) / 2
+            curve.append(row)
+        results[kind] = curve
+    return results
+
+
 def save_curves(curves: dict, path: str) -> None:
     with open(path, "w") as f:
         json.dump(curves, f, indent=2)

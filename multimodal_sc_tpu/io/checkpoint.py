@@ -9,10 +9,70 @@ has no checkpointing (``/root/reference/README.md:1-2``).
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
+
+_MISSING = object()
+
+# Leaf names (the last path component) that may legally be absent in an
+# OLDER checkpoint and are then filled from the fresh-init target value.
+# "fog" entered EnvState in r4 (runtime fog scalar, VERDICT r3 item 5);
+# pre-r4 FULL-state checkpoints miss the leaf, and without this shim the
+# restore dies with a raw orbax tree-structure error (ADVICE r4 /
+# VERDICT r4 item 8). The target's value is the right default: the
+# driver's freshly-reset env states carry fog seeded from cfg.env.fog_range.
+UPGRADE_FILL_LEAVES = ("fog",)
+
+
+def _merge_raw_into(target: Any, raw: Any, path: str = ""):
+    """Recursively overlay a raw orbax restore (nested dicts/lists of host
+    arrays) onto a live ``target`` pytree, preserving the target's dtypes
+    and shardings. Leaves missing from ``raw`` whose name is in
+    :data:`UPGRADE_FILL_LEAVES` keep the target's (fresh-init) value with
+    a warning; any other missing leaf raises a clear error naming it."""
+    if hasattr(target, "_fields"):                    # NamedTuple node
+        vals = {}
+        for f in target._fields:
+            sub = raw.get(f, _MISSING) if isinstance(raw, dict) else _MISSING
+            vals[f] = _merge_raw_into(getattr(target, f), sub,
+                                      f"{path}/{f}")
+        return type(target)(**vals)
+    if isinstance(target, dict):
+        return {k: _merge_raw_into(
+            v, raw.get(k, _MISSING) if isinstance(raw, dict) else _MISSING,
+            f"{path}/{k}") for k, v in target.items()}
+    if isinstance(target, (tuple, list)):
+        if raw is _MISSING or raw is None:
+            raw = [_MISSING] * len(target)
+        return type(target)(
+            _merge_raw_into(t, r, f"{path}/{i}")
+            for i, (t, r) in enumerate(zip(target, raw)))
+    # Leaf.
+    if raw is _MISSING or (raw is None and target is not None):
+        name = path.rsplit("/", 1)[-1]
+        if name in UPGRADE_FILL_LEAVES:
+            warnings.warn(
+                f"checkpoint upgrade: leaf {path!r} missing from the saved "
+                "state (pre-r4 format) — filled from the fresh-init value",
+                stacklevel=2)
+            return target
+        raise ValueError(
+            f"checkpoint is missing leaf {path!r} and no upgrade rule "
+            "covers it — the saved state predates an incompatible format "
+            "change; re-train or add the leaf to UPGRADE_FILL_LEAVES")
+    if not hasattr(target, "dtype"):                  # python scalar/static
+        return raw
+    if jnp.issubdtype(target.dtype, jax.dtypes.prng_key):
+        v = raw                                       # typed PRNG key leaf
+    else:
+        v = jnp.asarray(raw, dtype=target.dtype)
+    if hasattr(target, "sharding"):
+        v = jax.device_put(v, target.sharding)
+    return v
 
 
 class CheckpointManager:
@@ -44,6 +104,28 @@ class CheckpointManager:
             return None
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+    def restore_latest_upgrading(self, target: Any) -> Optional[Any]:
+        """:meth:`restore_latest`, plus a format-upgrade fallback: if the
+        strict restore fails (e.g. a pre-r4 FULL-state checkpoint missing
+        the ``EnvState.fog`` leaf), re-read the checkpoint WITHOUT a
+        target and overlay it onto ``target`` leaf by leaf — leaves named
+        in :data:`UPGRADE_FILL_LEAVES` fall back to the target's
+        fresh-init value with a warning, anything else missing raises a
+        clear error instead of a raw orbax tree-structure dump."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        try:
+            return self.restore_latest(target)
+        except Exception as strict_err:  # orbax raises assorted types here
+            raw = self._mgr.restore(step, args=ocp.args.StandardRestore())
+            try:
+                return _merge_raw_into(target, raw)
+            except ValueError:
+                raise
+            except Exception:
+                raise strict_err
 
     def restore_params_latest(self, params_target: Any,
                               field: str = "params") -> Optional[Any]:

@@ -212,28 +212,46 @@ def _td_loss(params, target_params, batch: Transition, key: Array,
     # optimized in expectation over the SNR range.
     snr = _sample_snr(cfg, jax.random.fold_in(key, 0x57A2),
                       batch.image.shape[0])
+    # BEV token pruning (lidar.vq_prune, r5): learner forwards train under
+    # per-example RANDOM kept fractions (random selection inside the
+    # trunk) so one checkpoint deploys at any channel.token_keep; one
+    # vector shared by the online/target/double forwards (a link
+    # condition, like snr).
+    keep = None
+    if cfg.lidar.vq_prune:
+        keep = jax.random.uniform(
+            jax.random.fold_in(key, 0x6EEA), (batch.image.shape[0],),
+            minval=cfg.lidar.vq_keep_min, maxval=1.0)
     vq_loss = None
+    reseed_stats = {}
     if cfg.camera.arch == "vq" or cfg.lidar.arch == "vq":
         # The perception trunk sows VQ codebook+commitment losses (one
         # entry per digital branch call: camera, ego LiDAR, V2X —
         # rl/perception.py); TD gradients ride the straight-through path
         # and never move the codebooks, so the learner sums and adds them
         # explicitly (rl.vq_loss_coef).
+        from multimodal_sc_tpu.rl.perception import collect_reseed_stats
+
         q, col = net.apply(
             {"params": params}, batch.image, batch.points, batch.mask,
-            k1, snr_db=snr, mutable=["intermediates"])
+            k1, snr_db=snr, lidar_keep=keep, mutable=["intermediates"])
         vq_loss = sum(col["intermediates"]["perception"]["vq_loss"])
+        # Dead-code re-seeding stats (r5 usage fix), applied after the
+        # optimizer step; {} unless a vq_reseed flag is on (static).
+        reseed_stats = jax.lax.stop_gradient(
+            collect_reseed_stats(cfg, col["intermediates"]))
     else:
         q = net.apply({"params": params}, batch.image, batch.points,
                       batch.mask, k1, snr_db=snr)
     q_taken = jnp.take_along_axis(q, batch.action[:, None], axis=-1)[:, 0]
 
     q_next_t = net.apply({"params": target_params}, batch.next_image,
-                         batch.next_points, batch.next_mask, k2, snr_db=snr)
+                         batch.next_points, batch.next_mask, k2, snr_db=snr,
+                         lidar_keep=keep)
     if cfg.rl.double_dqn:
         q_next_o = net.apply({"params": params}, batch.next_image,
                              batch.next_points, batch.next_mask, k3,
-                             snr_db=snr)
+                             snr_db=snr, lidar_keep=keep)
         a_star = jnp.argmax(q_next_o, axis=-1)
     else:
         a_star = jnp.argmax(q_next_t, axis=-1)
@@ -247,7 +265,7 @@ def _td_loss(params, target_params, batch: Transition, key: Array,
     loss = jnp.mean(optax.huber_loss(q_taken, target))
     if vq_loss is not None:
         loss = loss + cfg.rl.vq_loss_coef * vq_loss
-    return loss
+    return loss, reseed_stats
 
 
 def shard_state(state: DQNState, mesh, tp: bool = True) -> DQNState:
@@ -376,12 +394,23 @@ def make_iteration(cfg: ExperimentConfig, learn: bool = True,
             params, target_params, ema_params, opt_state, step = args
             batch = dequantize_obs(
                 cfg, replay.sample(buf, k_sample, cfg.rl.batch_size))
-            loss, grads = jax.value_and_grad(
-                lambda p: _td_loss(p, target_params, batch, k_loss, cfg))(
-                params)
+            (loss, rs), grads = jax.value_and_grad(
+                lambda p: _td_loss(p, target_params, batch, k_loss, cfg),
+                has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             step = step + 1
+            if rs:
+                # Dead-code re-seeding (r5 usage fix). Step-derived key:
+                # replicated (so the shard_map twin makes identical
+                # decisions on every shard) and resume-deterministic.
+                from multimodal_sc_tpu.rl.perception import (
+                    apply_codebook_reseed,
+                )
+
+                params = apply_codebook_reseed(
+                    cfg, params, rs,
+                    jax.random.fold_in(jax.random.key(0xD0D0), step))
             if cfg.rl.target_tau > 0:
                 # Soft (Polyak) target: every learn step, no hard jumps.
                 tau = cfg.rl.target_tau

@@ -181,9 +181,9 @@ def make_iteration(cfg: ExperimentConfig, mesh, chunk: int = 1):
             params, target_params, ema_params, opt_state, step = args
             batch = dequantize_obs(
                 cfg, replay.sample(buf, k_sample, cfg.rl.batch_size))
-            loss, grads = jax.value_and_grad(
-                lambda p: _td_loss(p, target_params, batch, k_loss, cfg))(
-                params)
+            (loss, rs), grads = jax.value_and_grad(
+                lambda p: _td_loss(p, target_params, batch, k_loss, cfg),
+                has_aux=True)(params)
             # THE comm boundary: mean grads (and loss, for logging) over ICI.
             grads = jax.lax.pmean(grads, DATA_AXIS)
             loss = jax.lax.pmean(loss, DATA_AXIS)
@@ -191,6 +191,22 @@ def make_iteration(cfg: ExperimentConfig, mesh, chunk: int = 1):
             params = jax.tree_util.tree_map(
                 lambda p, u: p + u, params, updates)
             step = step + 1
+            if rs:
+                # Dead-code re-seeding (r5 usage fix) with REPLICATED
+                # inputs so every shard edits the codebook identically:
+                # usage counts summed over shards, candidates from shard
+                # 0's batch, step-derived key (same construction as the
+                # unsharded twin — bit-identical at 1 shard).
+                from multimodal_sc_tpu.rl.perception import (
+                    apply_codebook_reseed,
+                )
+
+                rs = {k: (jax.lax.psum(c, DATA_AXIS),
+                          jax.lax.all_gather(cand, DATA_AXIS)[0])
+                      for k, (c, cand) in rs.items()}
+                params = apply_codebook_reseed(
+                    cfg, params, rs,
+                    jax.random.fold_in(jax.random.key(0xD0D0), step))
             if cfg.rl.target_tau > 0:
                 # Soft (Polyak) target — mirrors the unsharded twin.
                 tau = cfg.rl.target_tau

@@ -75,6 +75,9 @@ class SemanticPerception(nn.Module):
             self.cam_vq = VQEncoderTokens(
                 features=cam.features, vq_dim=cam.vq_dim,
                 vq_codes=cam.vq_codes, vq_beta=cam.vq_beta,
+                vq_usage_coef=cam.vq_usage_coef,
+                vq_usage_temp=cam.vq_usage_temp,
+                vq_reseed=cam.vq_reseed,
                 use_pallas=self.cfg.use_pallas, dtype=dtype)
             self.cam_tok = VQTokensCamera(
                 dim=fus.dim, vq_dim=cam.vq_dim, image_hw=cam.image_hw,
@@ -110,6 +113,14 @@ class SemanticPerception(nn.Module):
                 (lid.vq_codes, lid.vq_dim))
             self.lid_from_code = nn.Dense(lid.pillar_dim, dtype=dtype,
                                           name="lid_from_code")
+            if lid.vq_prune:
+                # BEV token pruning on the control path (r5, VERDICT r4
+                # item 5): learned receiver placeholder for untransmitted
+                # tokens; name mirrors LidarBEVVQCodec.mask_embed (via
+                # the lid_ prefix convention) for c3_vq_prune warm-starts.
+                self.lid_mask_embed = self.param(
+                    "lid_mask_embed", nn.initializers.normal(0.02),
+                    (lid.vq_dim,))
         else:
             self.lid_sym_head = nn.Dense(2 * lid.c_sym, dtype=dtype)
             self.lid_sym_embed = nn.Dense(lid.pillar_dim, dtype=dtype)
@@ -142,12 +153,21 @@ class SemanticPerception(nn.Module):
         key: Array,
         snr_db: Optional[Array] = None,
         v2x_offset_db: Optional[Array] = None,
+        lidar_keep: Optional[Array] = None,
     ) -> Array:
         """``v2x_offset_db`` (scalar): RSU-link SNR offset relative to the
         deployed ``snr_db``. None falls back to the config constant
         (training); the eval drivers pass it as a RUNTIME scalar so
         link-outage ablations (`channel.v2x_snr_offset_db=-40`) reuse the
-        healthy-link compiled graph (VERDICT r3 item 5)."""
+        healthy-link compiled graph (VERDICT r3 item 5).
+
+        ``lidar_keep`` (optional (B,)): kept-token fractions for the
+        pruned digital LiDAR branch (lidar.vq_prune, r5) — the RL
+        learners pass random fractions during training (random selection,
+        full drop-pattern coverage); ``None`` at deploy falls back to
+        channel.token_keep with the content-free channel.token_select
+        rule (scatter/random — validate() rejects the decoder-VJP damage
+        rules on this path)."""
         ch = self.cfg.channel
         if snr_db is None:
             snr_db = jnp.full((image.shape[0],), ch.snr_db, jnp.float32)
@@ -184,11 +204,27 @@ class SemanticPerception(nn.Module):
             # as an intermediate — the RL learners add it to their loss
             # (rl.vq_loss_coef), since TD/PPO gradients alone never move
             # the codebook.
-            from multimodal_sc_tpu.codec.semantic_vq import transmit_indices
+            from multimodal_sc_tpu.codec.semantic_vq import (
+                transmit_indices,
+                transmit_indices_harq,
+            )
 
             idx_tx, vq_loss, z_ste = self.cam_vq(image)
-            idx_rx = transmit_indices(ch, idx_tx, self.cfg.camera.vq_codes,
-                                      snr_db, k_cam)
+            if ch.harq:
+                # Deploy-time Type-I HARQ on the camera token link (r5):
+                # adaptive bandwidth, accounting sown for the policy
+                # sweep's sym/step column.
+                idx_rx, hinfo = transmit_indices_harq(
+                    ch, idx_tx, self.cfg.camera.vq_codes, snr_db, k_cam)
+                self.sow("intermediates", "harq_syms",
+                         hinfo["symbols_per_item"])
+                self.sow("intermediates", "harq_rounds",
+                         hinfo["mean_rounds"])
+                self.sow("intermediates", "harq_resid",
+                         hinfo["residual_fail_rate"])
+            else:
+                idx_rx = transmit_indices(
+                    ch, idx_tx, self.cfg.camera.vq_codes, snr_db, k_cam)
             z_rx = z_ste + jax.lax.stop_gradient(
                 self.cam_vq.codebook[idx_rx] - z_ste)
             cam_tokens = self.cam_tok(z_rx)
@@ -219,14 +255,76 @@ class SemanticPerception(nn.Module):
 
                 z_e = self.lid_to_code(bev).astype(jnp.float32)
                 b, h, w, _ = z_e.shape
-                z_ste, idx_tx, vq_loss = vector_quantize(
-                    z_e, self.lid_codebook, lid.vq_beta)
+                if lid.vq_reseed > 0:
+                    # Dead-code re-seeding stats for the RL learners (r5
+                    # usage fix) — one sown entry per branch call (ego +
+                    # V2X); the learner sums counts and takes the ego
+                    # candidates.
+                    z_ste, idx_tx, vq_loss, stats = vector_quantize(
+                        z_e, self.lid_codebook, lid.vq_beta,
+                        usage_coef=lid.vq_usage_coef,
+                        usage_temp=lid.vq_usage_temp, with_stats=True)
+                    self.sow("intermediates", "lid_vq_counts",
+                             stats["counts"])
+                    self.sow("intermediates", "lid_vq_cands",
+                             stats["candidates"])
+                else:
+                    z_ste, idx_tx, vq_loss = vector_quantize(
+                        z_e, self.lid_codebook, lid.vq_beta,
+                        usage_coef=lid.vq_usage_coef,
+                        usage_temp=lid.vq_usage_temp)
                 idx_tx = idx_tx.reshape(b, h * w)
                 z_ste = z_ste.reshape(b, h * w, lid.vq_dim)
-                idx_rx = transmit_indices(ch, idx_tx, lid.vq_codes,
-                                          link_snr, k)
+                kept = None
+                if lid.vq_prune:
+                    from multimodal_sc_tpu.codec.semantic_vq import (
+                        farthest_point_order,
+                        topk_mask,
+                    )
+
+                    keep_b = lidar_keep
+                    if keep_b is None and ch.token_keep < 1.0:
+                        keep_b = jnp.full((b,), ch.token_keep, jnp.float32)
+                    if keep_b is not None:
+                        m_cnt = jnp.ceil(keep_b * h * w).astype(jnp.int32)
+                        sel = ("random" if lidar_keep is not None
+                               else ch.token_select)
+                        if sel == "scatter":
+                            scores = jnp.broadcast_to(
+                                -jnp.asarray(farthest_point_order(h, w),
+                                             jnp.float32), idx_tx.shape)
+                        else:       # random (training or deploy ablation)
+                            scores = jax.random.uniform(
+                                jax.random.fold_in(k, 88), idx_tx.shape)
+                        kept = topk_mask(scores, m_cnt)
+                if ch.harq:
+                    # HARQ on the LiDAR token link — and therefore the
+                    # V2X RSU stream, which rides this same branch (r5).
+                    from multimodal_sc_tpu.codec.semantic_vq import (
+                        transmit_indices_harq,
+                    )
+
+                    idx_rx, hinfo = transmit_indices_harq(
+                        ch, idx_tx, lid.vq_codes, link_snr, k)
+                    self.sow("intermediates", "harq_syms",
+                             hinfo["symbols_per_item"])
+                    self.sow("intermediates", "harq_rounds",
+                             hinfo["mean_rounds"])
+                    self.sow("intermediates", "harq_resid",
+                             hinfo["residual_fail_rate"])
+                else:
+                    idx_rx = transmit_indices(
+                        ch, idx_tx, lid.vq_codes, link_snr, k,
+                        token_weights=(kept.astype(jnp.float32)
+                                       if kept is not None else None))
                 z_rx = z_ste + jax.lax.stop_gradient(
                     self.lid_codebook[idx_rx] - z_ste)
+                if kept is not None:
+                    # Untransmitted positions decode as the learned mask
+                    # embedding (zero symbols sent — bandwidth saved).
+                    me = jnp.broadcast_to(self.lid_mask_embed, z_rx.shape)
+                    z_rx = jnp.where(kept[..., None], z_rx,
+                                     me.astype(z_rx.dtype))
                 self.sow("intermediates", "vq_loss", vq_loss)
                 x = self.lid_from_code(
                     z_rx.reshape(b, h, w, lid.vq_dim).astype(bev.dtype))
@@ -258,6 +356,53 @@ class SemanticPerception(nn.Module):
         return self.fusion(cam_tokens, lid_tokens)
 
 
+def collect_reseed_stats(cfg: ExperimentConfig, intermediates) -> dict:
+    """Pull the dead-code re-seeding stats the perception trunk sowed
+    (``vq_reseed > 0`` paths) out of a ``mutable=["intermediates"]``
+    collection. Returns ``{"cam": (counts, candidates), "lid": (...)}``
+    with only the branches whose config enables re-seeding; LiDAR counts
+    sum the ego + V2X branch calls (shared codebook)."""
+    per = intermediates["perception"]
+    rs = {}
+    if cfg.camera.arch == "vq" and cfg.camera.vq_reseed > 0:
+        cv = per["cam_vq"]
+        rs["cam"] = (cv["vq_counts"][0], cv["vq_candidates"][0])
+    if cfg.lidar.arch == "vq" and cfg.lidar.vq_reseed > 0:
+        counts = sum(per["lid_vq_counts"])
+        rs["lid"] = (counts, per["lid_vq_cands"][0])
+    return rs
+
+
+def apply_codebook_reseed(cfg: ExperimentConfig, params, rs: dict,
+                          key: Array):
+    """Dead-code re-seeding on the RL param tree (r5 usage fix; see
+    codec/semantic_vq.py reseed_dead_codes): replace batch-dead codebook
+    rows with high-quantization-error encoder outputs, with probability
+    ``vq_reseed`` per step. Applied by the learners AFTER the optimizer
+    update (rl/dqn.py, rl/dqn_sharded.py, rl/ppo.py); the target/EMA
+    trees are left alone — a dead code is by definition unused, so its
+    stale row there decodes nothing, and the Polyak lerps track the new
+    row anyway."""
+    from multimodal_sc_tpu.codec.semantic_vq import reseed_dead_codes
+
+    per = dict(params["perception"])
+    if "cam" in rs:
+        counts, cands = rs["cam"]
+        sub = dict(per["cam_vq"])
+        sub["codebook"], _ = reseed_dead_codes(
+            sub["codebook"], counts, cands, jax.random.fold_in(key, 1),
+            cfg.camera.vq_reseed)
+        per["cam_vq"] = sub
+    if "lid" in rs:
+        counts, cands = rs["lid"]
+        per["lid_codebook"], _ = reseed_dead_codes(
+            per["lid_codebook"], counts, cands, jax.random.fold_in(key, 2),
+            cfg.lidar.vq_reseed)
+    out = dict(params)
+    out["perception"] = per
+    return out
+
+
 class QNetwork(nn.Module):
     """DQN head over the fused state (BASELINE.json:10)."""
 
@@ -270,8 +415,9 @@ class QNetwork(nn.Module):
         self.q = nn.Dense(self.cfg.rl.num_actions)
 
     def __call__(self, image, points, mask, key, snr_db=None,
-                 v2x_offset_db=None) -> Array:
-        s = self.perception(image, points, mask, key, snr_db, v2x_offset_db)
+                 v2x_offset_db=None, lidar_keep=None) -> Array:
+        s = self.perception(image, points, mask, key, snr_db, v2x_offset_db,
+                            lidar_keep)
         h = nn.relu(self.h1(s))
         h = nn.relu(self.h2(h))
         return self.q(h)
@@ -290,8 +436,9 @@ class ActorCritic(nn.Module):
         self.v = nn.Dense(1)
 
     def __call__(self, image, points, mask, key, snr_db=None,
-                 v2x_offset_db=None) -> Tuple[Array, Array]:
-        s = self.perception(image, points, mask, key, snr_db, v2x_offset_db)
+                 v2x_offset_db=None, lidar_keep=None) -> Tuple[Array, Array]:
+        s = self.perception(image, points, mask, key, snr_db, v2x_offset_db,
+                            lidar_keep)
         logits = self.pi(nn.tanh(self.pi_h(s)))
         value = self.v(nn.tanh(self.v_h(s)))[..., 0]
         return logits, value

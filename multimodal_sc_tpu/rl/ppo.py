@@ -155,15 +155,27 @@ def _ppo_loss(params, batch, cfg: ExperimentConfig, key: Array,
         # (see rl/dqn.py:_td_loss; kernel stays on the fwd-only rollout).
         cfg = cfg.override(mha_block_kernel=False)
     vq_loss = None
+    reseed_stats = {}
+    # BEV token pruning (lidar.vq_prune, r5): random per-example kept
+    # fractions in the loss forwards (see rl/dqn.py:_td_loss).
+    keep = None
+    if cfg.lidar.vq_prune:
+        keep = jax.random.uniform(
+            jax.random.fold_in(key, 0x6EEA), (batch["image"].shape[0],),
+            minval=cfg.lidar.vq_keep_min, maxval=1.0)
     if cfg.camera.arch == "vq" or cfg.lidar.arch == "vq":
         # VQ codebook+commitment losses sown by the trunk, one per
         # digital branch call (see rl/dqn.py:_td_loss — the PPO
         # surrogate's STE gradients never move the codebooks either).
+        from multimodal_sc_tpu.rl.perception import collect_reseed_stats
+
         (logits, value), col = ActorCritic(cfg).apply(
             {"params": params}, dequantize_frame(batch["image"]),
             batch["points"], batch["mask"], key, snr_db=batch["snr"],
-            mutable=["intermediates"])
+            lidar_keep=keep, mutable=["intermediates"])
         vq_loss = sum(col["intermediates"]["perception"]["vq_loss"])
+        reseed_stats = jax.lax.stop_gradient(
+            collect_reseed_stats(cfg, col["intermediates"]))
     else:
         logits, value = ActorCritic(cfg).apply(
             {"params": params}, dequantize_frame(batch["image"]),
@@ -180,9 +192,16 @@ def _ppo_loss(params, batch, cfg: ExperimentConfig, key: Array,
     entropy = -jnp.mean(jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1))
     total = (pg_loss + cfg.rl.value_coef * v_loss
              - entropy_coef * entropy)
+    if cfg.rl.entropy_floor > 0:
+        # Hinge entropy floor (r5, VERDICT r4 item 3): inactive above the
+        # floor — healthy seeds train unchanged — and pushes back only
+        # when the policy starts collapsing below it.
+        total = total + cfg.rl.entropy_floor_coef * jax.nn.relu(
+            cfg.rl.entropy_floor - entropy)
     if vq_loss is not None:
         total = total + cfg.rl.vq_loss_coef * vq_loss
-    return total, {"pg_loss": pg_loss, "v_loss": v_loss, "entropy": entropy}
+    return total, {"pg_loss": pg_loss, "v_loss": v_loss, "entropy": entropy,
+                   "reseed_stats": reseed_stats}
 
 
 def _entropy_coef(cfg: ExperimentConfig, update: Array) -> Array:
@@ -299,6 +318,17 @@ def _update_body(cfg: ExperimentConfig):
                     has_aux=True)(params)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
+                rs = aux.pop("reseed_stats")
+                if rs:
+                    # Dead-code re-seeding per minibatch step (r5 usage
+                    # fix; key from the state's PRNG stream — resume-
+                    # deterministic, replicated under GSPMD).
+                    from multimodal_sc_tpu.rl.perception import (
+                        apply_codebook_reseed,
+                    )
+
+                    params = apply_codebook_reseed(
+                        cfg, params, rs, jax.random.fold_in(k_i, 0xD0D0))
                 return (params, opt_state), (loss, aux)
 
             (params, opt_state), (losses, auxs) = jax.lax.scan(

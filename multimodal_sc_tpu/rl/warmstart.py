@@ -53,10 +53,15 @@ def _shape_checked_copy(dst: Any, src: Any) -> Tuple[bool, Any]:
 
 
 def load_jscc_into_perception(cfg: ExperimentConfig, params: Any,
-                              ckpt_dir: str) -> Any:
+                              ckpt_dir: str,
+                              return_loaded: bool = False) -> Any:
     """Return `params` with perception submodules warm-started from the
     JSCC checkpoint at `ckpt_dir` (a train/jscc or train/fusion_jscc
-    checkpoint directory). Raises if nothing at all could be mapped."""
+    checkpoint directory). Raises if nothing at all could be mapped.
+    ``return_loaded=True`` returns ``(params, loaded_names)`` so the RL
+    drivers can detect a VQ codebook that was NOT warm-started (analog
+    source -> digital trunk) and fall back to data-dependent seeding
+    (ADVICE r4: the default init collapses to a code-independent trunk)."""
     from multimodal_sc_tpu.io.checkpoint import CheckpointManager
 
     mgr = CheckpointManager(ckpt_dir)
@@ -97,15 +102,31 @@ def load_jscc_into_perception(cfg: ExperimentConfig, params: Any,
         assignments += [
             ("pfn", lid_src.get("pfn")),
             ("lid_backbone", lid_src.get("backbone")),
-            ("lid_sym_head", lid_src.get("sym_head")),
-            ("lid_sym_embed", lid_src.get("sym_embed")),
             ("lid_dec", lid_src.get("dec_backbone")),
-            # Digital (c3_vq) source -> digital (lidar.arch=vq) trunk:
-            # the perception module names mirror LidarBEVVQCodec's.
-            ("lid_to_code", lid_src.get("to_code")),
-            ("lid_codebook", lid_src.get("codebook")),
-            ("lid_from_code", lid_src.get("from_code")),
         ]
+        # Arch-specific trunk modules, gated on the TARGET tree so an
+        # analog c3 -> analog c4 warm-start never emits a misleading
+        # "skipped ['lid_to_code', ...]" warning for modules that exist in
+        # neither source nor target (ADVICE r4). A genuine arch mismatch
+        # (analog source, digital target or vice versa) still appends the
+        # target's modules with a None/absent source and warns.
+        if "lid_to_code" in per:
+            # Digital (lidar.arch=vq) trunk: names mirror LidarBEVVQCodec.
+            assignments += [
+                ("lid_to_code", lid_src.get("to_code")),
+                ("lid_codebook", lid_src.get("codebook")),
+                ("lid_from_code", lid_src.get("from_code")),
+            ]
+            if "lid_mask_embed" in per:
+                # Pruned digital trunk (lidar.vq_prune): the receiver
+                # placeholder maps from a c3_vq_prune source by name.
+                assignments.append(
+                    ("lid_mask_embed", lid_src.get("mask_embed")))
+        else:
+            assignments += [
+                ("lid_sym_head", lid_src.get("sym_head")),
+                ("lid_sym_embed", lid_src.get("sym_embed")),
+            ]
 
     loaded, skipped = [], []
     for name, sub in assignments:
@@ -129,11 +150,15 @@ def load_jscc_into_perception(cfg: ExperimentConfig, params: Any,
 
     new_params = dict(params)
     new_params["perception"] = per
+    if return_loaded:
+        return new_params, loaded
     return new_params
 
 
 def seed_vq_codebook_params(cfg: ExperimentConfig, params: Any,
-                            key: Array = None) -> Any:
+                            key: Array = None,
+                            seed_camera: bool = True,
+                            seed_lidar: bool = True) -> Any:
     """Data-dependent codebook seeding for a COLD RL run with
     camera.arch="vq" (``params`` is the full DQN/PPO param tree with a
     ``perception.cam_vq`` subtree): replace the codebook rows with a
@@ -163,7 +188,7 @@ def seed_vq_codebook_params(cfg: ExperimentConfig, params: Any,
         return jax.device_put(new, old.sharding) \
             if hasattr(old, "sharding") else new
 
-    if cfg.camera.arch == "vq":
+    if cfg.camera.arch == "vq" and seed_camera:
         cam = cfg.camera
         enc = VQEncoderTokens(
             features=cam.features, vq_dim=cam.vq_dim, vq_codes=cam.vq_codes,
@@ -175,7 +200,7 @@ def seed_vq_codebook_params(cfg: ExperimentConfig, params: Any,
         sub["codebook"] = _keep_placement(old, sub["codebook"])
         per["cam_vq"] = sub
 
-    if cfg.lidar.arch == "vq":
+    if cfg.lidar.arch == "vq" and seed_lidar:
         # Same fix for the LiDAR codebook: BEV features from the fresh
         # pillar trunk, to_code projection, sample rows.
         from flax import linen as nn

@@ -96,9 +96,21 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
         state_cls = dqn_lib.DQNState
 
     if init_from:
-        from multimodal_sc_tpu.rl.warmstart import load_jscc_into_perception
+        from multimodal_sc_tpu.rl.warmstart import (
+            load_jscc_into_perception,
+            seed_vq_codebook_params,
+        )
 
-        params = load_jscc_into_perception(cfg, state.params, init_from)
+        params, loaded = load_jscc_into_perception(
+            cfg, state.params, init_from, return_loaded=True)
+        # A VQ trunk warm-started from an ANALOG checkpoint gets no
+        # codebook from the source; without data-dependent seeding the
+        # default init collapses to a code-independent trunk (ADVICE r4).
+        seed_cam = cfg.camera.arch == "vq" and "cam_vq" not in loaded
+        seed_lid = cfg.lidar.arch == "vq" and "lid_codebook" not in loaded
+        if seed_cam or seed_lid:
+            params = seed_vq_codebook_params(
+                cfg, params, seed_camera=seed_cam, seed_lidar=seed_lid)
         # Target AND deployment EMA restart from the warm params — leaving
         # either at the random-init copy would blend junk into early TD
         # targets / the averaged deployment policy.
@@ -129,7 +141,11 @@ def run(cfg: ExperimentConfig, num_envs: Optional[int] = None,
         ckpt_mgr = CheckpointManager(cfg.train.checkpoint_dir)
         _guard_replay_dtype(cfg)
         ckpt_mgr.save_config(cfg.to_json())
-        restored = ckpt_mgr.restore_latest(state)
+        # Upgrading restore: pre-r4 full-state checkpoints miss the
+        # EnvState.fog leaf — the shim fills it from the fresh reset
+        # (io/checkpoint.py UPGRADE_FILL_LEAVES) instead of dying on a raw
+        # orbax tree-structure error.
+        restored = ckpt_mgr.restore_latest_upgrading(state)
         if restored is not None:
             state = state_cls(*restored)
 

@@ -72,6 +72,9 @@ def build_lidar_codec(cfg: ExperimentConfig):
         return LidarBEVVQCodec(
             pillar_dim=lid.pillar_dim, bev_hw=lid.bev_hw,
             vq_codes=lid.vq_codes, vq_dim=lid.vq_dim, vq_beta=lid.vq_beta,
+            vq_usage_coef=lid.vq_usage_coef,
+            vq_usage_temp=lid.vq_usage_temp, vq_reseed=lid.vq_reseed,
+            vq_prune=lid.vq_prune,
             seg_classes=lid.seg_classes,
             x_range=lid.x_range, y_range=lid.y_range,
             channel_cfg=cfg.channel,
@@ -92,7 +95,8 @@ class LateFusionJSCC(nn.Module):
         self.camera = build_camera_codec(self.cfg)
         self.lidar = build_lidar_codec(self.cfg)
 
-    def __call__(self, img, points, mask, snr_db, key):
+    def __call__(self, img, points, mask, snr_db, key, lidar_keep=None,
+                 lidar_select=None):
         """Full late-fusion TX: both branches through the channel.
         Returns (recon, occ_logits, lidar_aux) — aux is empty for the
         analog LiDAR codec, {vq_loss, index_error_rate, code_perplexity}
@@ -105,7 +109,9 @@ class LateFusionJSCC(nn.Module):
                                **channel_kwargs(ch))
         recon = self.camera.decode(z_cam_hat, snr_db)
         if self.cfg.lidar.arch == "vq":
-            occ_logits, lid_aux = self.lidar(points, mask, snr_db, k_lid)
+            occ_logits, lid_aux = self.lidar(points, mask, snr_db, k_lid,
+                                             keep=lidar_keep,
+                                             select=lidar_select)
             return recon, occ_logits, lid_aux
         z_lid = self.lidar.encode((points, mask))
         z_lid_hat = channel_op(z_lid, snr_db, ch.kind, k_lid,
@@ -156,9 +162,19 @@ def _step_body(cfg: ExperimentConfig):
             target = occupancy_target(pts, mask, lid.bev_hw, lid.x_range,
                                       lid.y_range)
 
+        # BEV token pruning (lidar.vq_prune, r5): train with per-example
+        # random kept fractions + random selection (full coverage of drop
+        # patterns; the deploy-time ranking is a pure eval choice).
+        prune = cfg.lidar.vq_prune
+        keep = (jax.random.uniform(
+            jax.random.fold_in(key, 0x6EEA), (img.shape[0],),
+            minval=cfg.lidar.vq_keep_min, maxval=1.0) if prune else None)
+
         def loss_fn(params):
+            kw = ({"lidar_keep": keep, "lidar_select": "random"}
+                  if prune else {})
             recon, logits, lid_aux = model.apply(
-                {"params": params}, img, pts, mask, snr_db, kch)
+                {"params": params}, img, pts, mask, snr_db, kch, **kw)
             cam_loss = jnp.mean(jnp.square(recon - img))
             if semantic:
                 lid_loss = jnp.mean(
@@ -180,6 +196,21 @@ def _step_body(cfg: ExperimentConfig):
         (loss, (recon, logits, cam_loss, lid_loss, lid_aux)), grads = \
             jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads=grads)
+        if "vq_counts" in lid_aux:
+            # Dead-code re-seeding AFTER the optimizer step (r5 usage
+            # fix, codec/semantic_vq.py reseed_dead_codes); key derived
+            # from the step key — chunked and single dispatch identical.
+            from multimodal_sc_tpu.codec.semantic_vq import (
+                reseed_dead_codes,
+            )
+
+            new_lid = dict(state.params["lidar"])
+            new_lid["codebook"], n_rs = reseed_dead_codes(
+                new_lid["codebook"], lid_aux["vq_counts"],
+                lid_aux["vq_candidates"], jax.random.fold_in(key, 0xD0D0),
+                cfg.lidar.vq_reseed)
+            state = state.replace(
+                params={**state.params, "lidar": new_lid})
         if semantic:
             pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             m = miou(pred, target, lid.seg_classes)
@@ -195,6 +226,10 @@ def _step_body(cfg: ExperimentConfig):
             metrics["lidar_vq_loss"] = lid_aux["vq_loss"]
             metrics["lidar_index_err"] = lid_aux["index_error_rate"]
             metrics["lidar_code_perplexity"] = lid_aux["code_perplexity"]
+        if "vq_counts" in lid_aux:
+            metrics["lidar_vq_reseeded"] = n_rs.astype(jnp.float32)
+        if "token_keep_frac" in lid_aux:
+            metrics["lidar_token_keep_frac"] = lid_aux["token_keep_frac"]
         return state, metrics
 
     return train_step

@@ -167,6 +167,21 @@ def _step_body(cfg: ExperimentConfig, model):
                        "vq_loss": aux["vq_loss"],
                        "index_error_rate": aux["index_error_rate"],
                        "code_perplexity": aux["code_perplexity"]}
+            if "vq_counts" in aux:
+                # Dead-code re-seeding AFTER the optimizer step (r5 usage
+                # fix; camera.vq_reseed > 0): batch-dead codes jump to the
+                # batch's worst-quantized encoder outputs.
+                from multimodal_sc_tpu.codec.semantic_vq import (
+                    reseed_dead_codes,
+                )
+
+                new_cb, n_rs = reseed_dead_codes(
+                    state.params["codebook"], aux["vq_counts"],
+                    aux["vq_candidates"], jax.random.fold_in(key, 0xD0D0),
+                    cfg.camera.vq_reseed)
+                state = state.replace(
+                    params={**state.params, "codebook": new_cb})
+                metrics["vq_reseeded"] = n_rs.astype(jnp.float32)
             if prune:
                 metrics["token_keep_frac"] = aux["token_keep_frac"]
             return state, metrics

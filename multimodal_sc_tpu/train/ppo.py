@@ -28,9 +28,21 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None,
     key, k_init = jax.random.split(key)
     state = ppo_lib.init(cfg, k_init)
     if init_from:
-        from multimodal_sc_tpu.rl.warmstart import load_jscc_into_perception
+        from multimodal_sc_tpu.rl.warmstart import (
+            load_jscc_into_perception,
+            seed_vq_codebook_params,
+        )
 
-        warm = load_jscc_into_perception(cfg, state.params, init_from)
+        warm, loaded = load_jscc_into_perception(
+            cfg, state.params, init_from, return_loaded=True)
+        # VQ trunk warm-started from an ANALOG source: no codebook came
+        # over — seed it from data or the trunk collapses (ADVICE r4; see
+        # train/dqn.py).
+        seed_cam = cfg.camera.arch == "vq" and "cam_vq" not in loaded
+        seed_lid = cfg.lidar.arch == "vq" and "lid_codebook" not in loaded
+        if seed_cam or seed_lid:
+            warm = seed_vq_codebook_params(
+                cfg, warm, seed_camera=seed_cam, seed_lidar=seed_lid)
         state = state._replace(
             params=warm,
             ema_params=jax.tree_util.tree_map(jax.numpy.copy, warm))
@@ -60,7 +72,9 @@ def run(cfg: ExperimentConfig, metrics_path: Optional[str] = None,
 
         ckpt_mgr = CheckpointManager(cfg.train.checkpoint_dir)
         ckpt_mgr.save_config(cfg.to_json())
-        restored = ckpt_mgr.restore_latest(state)
+        # Upgrading restore: fills pre-r4 checkpoints' missing
+        # EnvState.fog leaf from the fresh reset (io/checkpoint.py).
+        restored = ckpt_mgr.restore_latest_upgrading(state)
         if restored is not None:
             state = ppo_lib.PPOState(*restored)
 

@@ -425,11 +425,80 @@ RUNS = [
                              f"train.checkpoint_dir={OUT}/ckpt_c4vq",
                              "--out",
                              f"{OUT}/c4_vq_fec_policy_curves.json"]),
-    # r4 stretch: BOTH modalities digital on the control path
-    # (camera.arch=vq + lidar.arch=vq — rl/perception.py), bandwidth-
-    # matched to the analog payloads at the c4 defaults.
+    # (The r4 full-digital stretch arms lived here; r5 supersedes them
+    # with the usage-regularized versions above — now GATED, VERDICT r4
+    # items 1-2.)
+    # ================= r5 arms =================
+    # r5 (VERDICT r4 item 1): c3_vq retrained with codebook-usage
+    # regularization (diversity entropy on soft assignments) + dead-code
+    # re-seeding — the fix for the r4 collapse to perplexity 6.8/256.
+    # Gate: perplexity >= 64 with the mIoU ceiling held (>= 0.88 train).
+    ("c3_vq_u", ["train", "--config", "c3",
+                 "--set", "lidar.arch=vq",
+                 "--set", "lidar.vq_usage_coef=0.25",
+                 "--set", "lidar.vq_reseed=0.05",
+                 "--set", "train.steps=2500", "--set", "train.log_every=250",
+                 "--set", "train.batch_size=32",
+                 "--set", f"train.checkpoint_dir={OUT}/ckpt_c3vq",
+                 "--set", "train.checkpoint_every=2500"]),
+    ("c3_vq_u_sweep", ["eval", "--config", "c3",
+                       "--set", "lidar.arch=vq",
+                       "--set", "lidar.vq_usage_coef=0.25",
+                       "--set", "lidar.vq_reseed=0.05",
+                       "--set", "train.batch_size=32",
+                       "--set", f"train.checkpoint_dir={OUT}/ckpt_c3vq",
+                       "--out", f"{OUT}/c3_vq_curves.json"]),
+    ("c3_vq_u_fec_sweep", ["eval", "--config", "c3",
+                           "--set", "lidar.arch=vq",
+                           "--set", "lidar.vq_usage_coef=0.25",
+                           "--set", "lidar.vq_reseed=0.05",
+                           "--set", "channel.fec=hamming74_soft",
+                           "--set", "train.batch_size=32",
+                           "--set", f"train.checkpoint_dir={OUT}/ckpt_c3vq",
+                           "--out", f"{OUT}/c3_vq_fec_curves.json"]),
+    # r5 (item 6): entropy-aware index transport on the SAME checkpoint —
+    # fixed 8-bit vs trained-distribution Huffman VLC vs top-16
+    # re-alphabet, exact symbol accounting. Run on the usage-regularized
+    # checkpoint so the utilization-vs-compressibility trade-off is
+    # recorded (the two claims can't max out simultaneously).
+    ("c3_vq_entropy_sweep", ["eval", "--config", "c3", "--entropy-sweep",
+                             "--set", "lidar.arch=vq",
+                             "--set", "lidar.vq_usage_coef=0.25",
+                             "--set", "lidar.vq_reseed=0.05",
+                             "--set", "train.batch_size=32",
+                             "--set",
+                             f"train.checkpoint_dir={OUT}/ckpt_c3vq",
+                             "--out", f"{OUT}/c3_vq_entropy_curves.json"]),
+    # r5 (item 5): BEV token pruning — one model, any kept-token fraction;
+    # the keep sweep re-runs the r3 camera selection-rule study on the
+    # 32x32 BEV grid.
+    ("c3_vq_prune", ["train", "--config", "c3",
+                     "--set", "lidar.arch=vq",
+                     "--set", "lidar.vq_prune=true",
+                     "--set", "lidar.vq_usage_coef=0.25",
+                     "--set", "lidar.vq_reseed=0.05",
+                     "--set", "train.steps=2500",
+                     "--set", "train.log_every=250",
+                     "--set", "train.batch_size=32",
+                     "--set", f"train.checkpoint_dir={OUT}/ckpt_c3vqp",
+                     "--set", "train.checkpoint_every=2500"]),
+    ("c3_vq_keep_sweep", ["eval", "--config", "c3", "--keep-sweep",
+                          "--set", "lidar.arch=vq",
+                          "--set", "lidar.vq_prune=true",
+                          "--set", "lidar.vq_usage_coef=0.25",
+                          "--set", "lidar.vq_reseed=0.05",
+                          "--set", "train.batch_size=32",
+                          "--set", f"train.checkpoint_dir={OUT}/ckpt_c3vqp",
+                          "--out", f"{OUT}/c3_vq_keep_curves.json"]),
+    # r5 (items 1+2): the full-digital agent retrained with the usage
+    # mechanism on BOTH codebooks — promoted from stretch to GATED
+    # (EMA >= 105; see BASELINE.md parity gates).
     ("c4_digital", ["train", "--config", "c4",
                     "--set", "camera.arch=vq", "--set", "lidar.arch=vq",
+                    "--set", "camera.vq_usage_coef=0.25",
+                    "--set", "camera.vq_reseed=0.05",
+                    "--set", "lidar.vq_usage_coef=0.25",
+                    "--set", "lidar.vq_reseed=0.05",
                     "--set", "train.steps=5000",
                     "--set", "train.log_every=500",
                     "--set", f"train.checkpoint_dir={OUT}/ckpt_c4dg",
@@ -438,14 +507,65 @@ RUNS = [
                              "--episodes", "256", "--use-ema",
                              "--set", "camera.arch=vq",
                              "--set", "lidar.arch=vq",
+                             "--set", "camera.vq_usage_coef=0.25",
+                             "--set", "camera.vq_reseed=0.05",
+                             "--set", "lidar.vq_usage_coef=0.25",
+                             "--set", "lidar.vq_reseed=0.05",
                              "--set",
                              f"train.checkpoint_dir={OUT}/ckpt_c4dg"]),
-    # The full story in one arm: fogged ego, digital camera + digital
-    # LiDAR, and the V2X RSU shipping DIGITAL semantic tokens over its
-    # own link instance.
+    # r5 (item 4): the protocol stack on the CONTROL path — the same
+    # full-digital checkpoint deployed uncoded / soft-FEC / Type-I HARQ.
+    # HARQ rows record link_syms_per_step (adaptive bandwidth accounting).
+    ("c4_digital_snr_sweep", ["eval-policy", "--config", "c4",
+                              "--snr-sweep", "--episodes", "256",
+                              "--use-ema", "--kinds", "awgn",
+                              "--set", "camera.arch=vq",
+                              "--set", "lidar.arch=vq",
+                              "--set", "camera.vq_usage_coef=0.25",
+                              "--set", "camera.vq_reseed=0.05",
+                              "--set", "lidar.vq_usage_coef=0.25",
+                              "--set", "lidar.vq_reseed=0.05",
+                              "--set",
+                              f"train.checkpoint_dir={OUT}/ckpt_c4dg",
+                              "--out",
+                              f"{OUT}/c4_digital_policy_curves.json"]),
+    ("c4_digital_snr_sweep_fec", ["eval-policy", "--config", "c4",
+                                  "--snr-sweep", "--episodes", "256",
+                                  "--use-ema", "--kinds", "awgn",
+                                  "--set", "camera.arch=vq",
+                                  "--set", "lidar.arch=vq",
+                                  "--set", "camera.vq_usage_coef=0.25",
+                                  "--set", "camera.vq_reseed=0.05",
+                                  "--set", "lidar.vq_usage_coef=0.25",
+                                  "--set", "lidar.vq_reseed=0.05",
+                                  "--set", "channel.fec=hamming74_soft",
+                                  "--set",
+                                  f"train.checkpoint_dir={OUT}/ckpt_c4dg",
+                                  "--out",
+                                  f"{OUT}/c4_digital_fec_curves.json"]),
+    ("c4_digital_snr_sweep_harq", ["eval-policy", "--config", "c4",
+                                   "--snr-sweep", "--episodes", "256",
+                                   "--use-ema", "--kinds", "awgn",
+                                   "--set", "camera.arch=vq",
+                                   "--set", "lidar.arch=vq",
+                                   "--set", "camera.vq_usage_coef=0.25",
+                                   "--set", "camera.vq_reseed=0.05",
+                                   "--set", "lidar.vq_usage_coef=0.25",
+                                   "--set", "lidar.vq_reseed=0.05",
+                                   "--set", "channel.harq=true",
+                                   "--set",
+                                   f"train.checkpoint_dir={OUT}/ckpt_c4dg",
+                                   "--out",
+                                   f"{OUT}/c4_digital_harq_curves.json"]),
+    # r5 (item 1 'done' criterion): full-digital fog+V2X retrained with
+    # the usage mechanism, vs a same-round analog fog+V2X twin.
     ("c4_fog_v2x_digital", ["train", "--config", "c4",
                             "--set", "camera.arch=vq",
                             "--set", "lidar.arch=vq",
+                            "--set", "camera.vq_usage_coef=0.25",
+                            "--set", "camera.vq_reseed=0.05",
+                            "--set", "lidar.vq_usage_coef=0.25",
+                            "--set", "lidar.vq_reseed=0.05",
                             "--set", "env.fog_range=20",
                             "--set", "env.v2x_rays=32",
                             "--set", "train.steps=5000",
@@ -457,10 +577,65 @@ RUNS = [
                                      "--episodes", "256", "--use-ema",
                                      "--set", "camera.arch=vq",
                                      "--set", "lidar.arch=vq",
+                                     "--set", "camera.vq_usage_coef=0.25",
+                                     "--set", "camera.vq_reseed=0.05",
+                                     "--set", "lidar.vq_usage_coef=0.25",
+                                     "--set", "lidar.vq_reseed=0.05",
                                      "--set", "env.fog_range=20",
                                      "--set", "env.v2x_rays=32",
                                      "--set",
                                      f"train.checkpoint_dir={OUT}/ckpt_c4fvd"]),
+    ("c4_fog_v2x_analog", ["train", "--config", "c4",
+                           "--set", "env.fog_range=20",
+                           "--set", "env.v2x_rays=32",
+                           "--set", "train.steps=5000",
+                           "--set", "train.log_every=500",
+                           "--set", f"train.checkpoint_dir={OUT}/ckpt_c4fv",
+                           "--set", "train.checkpoint_every=5000"]),
+    ("c4_fog_v2x_analog_eval_ema", ["eval-policy", "--config", "c4",
+                                    "--episodes", "256", "--use-ema",
+                                    "--set", "env.fog_range=20",
+                                    "--set", "env.v2x_rays=32",
+                                    "--set",
+                                    f"train.checkpoint_dir={OUT}/ckpt_c4fv"]),
+    # r5 (item 3): entropy-floor recipe across FOUR seeds — raise the
+    # worst-seed sampled floor back to >= 65 instead of gating down.
+    *[arm for s in (0, 1, 2, 3) for arm in (
+        (f"c5_floor_s{s}", ["train", "--config", "c5",
+                            "--set", "train.steps=150",
+                            "--set", "train.log_every=10",
+                            "--set", "rl.num_envs=64",
+                            "--set", "rl.entropy_floor=1.0",
+                            "--set", f"train.seed={s}",
+                            "--set",
+                            f"train.checkpoint_dir={OUT}/ckpt_c5f_s{s}",
+                            "--set", "train.checkpoint_every=150"]),
+        (f"c5_floor_s{s}_eval_sampled", ["eval-policy", "--config", "c5",
+                                         "--sample", "--episodes", "256",
+                                         "--set", "rl.num_envs=64",
+                                         "--set", "rl.entropy_floor=1.0",
+                                         "--set", f"train.seed={s}",
+                                         "--set",
+                                         f"train.checkpoint_dir={OUT}/ckpt_c5f_s{s}"]),
+        # r5 (item 7): deterministic-deployment study on the same
+        # checkpoints — greedy (T=0) and sharpened sampling (T=0.5).
+        (f"c5_floor_s{s}_eval_greedy", ["eval-policy", "--config", "c5",
+                                        "--episodes", "256",
+                                        "--set", "rl.num_envs=64",
+                                        "--set", "rl.entropy_floor=1.0",
+                                        "--set", f"train.seed={s}",
+                                        "--set",
+                                        f"train.checkpoint_dir={OUT}/ckpt_c5f_s{s}"]),
+        (f"c5_floor_s{s}_eval_t05", ["eval-policy", "--config", "c5",
+                                     "--sample", "--temperature", "0.5",
+                                     "--episodes", "256",
+                                     "--set", "rl.num_envs=64",
+                                     "--set", "rl.entropy_floor=1.0",
+                                     "--set", f"train.seed={s}",
+                                     "--set",
+                                     f"train.checkpoint_dir={OUT}/ckpt_c5f_s{s}"]),
+    )],
+    # ================= end r5 arms =================
     # c5 at the r2-bar budget (150 updates), both eval modes recorded in
     # ONE artifact (VERDICT r2 item 4 — the r2 json only held the 60-update
     # run and an rc-1 eval).

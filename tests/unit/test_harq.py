@@ -154,3 +154,81 @@ class TestHARQEvaluator:
         assert pts[1]["index_err"] <= pts[0]["index_err"]
         for p in pts:
             assert np.isfinite(p["psnr"])
+
+
+class TestHARQControlPath:
+    """Type-I HARQ deployed on the RL digital token links (r5, VERDICT r4
+    item 4): same checkpoint, channel.harq is a pure deploy-time flag;
+    the policy sweep records the adaptive-bandwidth accounting."""
+
+    def _cfg(self, *extra):
+        import multimodal_sc_tpu as msc
+
+        return msc.get_preset("c4").override_str([
+            "camera.arch=vq", "camera.features=8,16,16,16",
+            "camera.image_hw=16,16", "camera.vq_codes=16", "camera.vq_dim=8",
+            "lidar.arch=vq", "lidar.pillar_dim=16", "lidar.bev_hw=8,8",
+            "lidar.vq_codes=16", "lidar.vq_dim=8",
+            "env.image_hw=16,16", "env.num_npcs=2", "env.lidar_rays=16",
+            "env.max_steps=8",
+            "fusion.dim=32", "fusion.depth=1", "fusion.heads=2",
+            "fusion.state_dim=32",
+            "rl.replay_capacity=32", "rl.batch_size=8",
+            *extra,
+        ])
+
+    def test_validate_rules(self):
+        import multimodal_sc_tpu as msc
+
+        self._cfg("channel.harq=true").validate()
+        with pytest.raises(ValueError, match="harq"):
+            self._cfg("channel.harq=true",
+                      "channel.fec=hamming74_soft").validate()
+        with pytest.raises(ValueError, match="digital"):
+            msc.get_preset("c4").override_str(
+                ["channel.harq=true"]).validate()
+        with pytest.raises(ValueError, match="harq-sweep"):
+            msc.get_preset("c1").override_str(
+                ["camera.arch=vq", "channel.harq=true"]).validate()
+
+    def test_policy_sweep_records_adaptive_bandwidth(self, key):
+        from multimodal_sc_tpu.evaluation import policy_sweep
+        from multimodal_sc_tpu.rl import dqn as dqn_lib
+
+        cfg = self._cfg("channel.harq=true", "channel.harq_rounds=3")
+        params = dqn_lib.init_params(cfg, key)
+        curves = policy_sweep.policy_snr_sweep(
+            cfg, params, key, snrs=(-5.0, 20.0), kinds=("awgn",),
+            num_envs=4)
+        lo, hi = curves["awgn"]
+        # Fixed-bandwidth floor: camera 16 tok x 4 b = 64 payload bits ->
+        # 1 block of 72 coded bits = 36 syms; lidar 64 tok x 4 b = 256 ->
+        # 4 blocks = 144 syms; total one-shot = 180 syms/step.
+        assert hi["link_syms_per_step"] >= 180.0 - 1e-3
+        # Adaptive: the bad channel pays retransmissions, the good one
+        # pays ~the CRC-only overhead.
+        assert lo["link_syms_per_step"] > 1.5 * hi["link_syms_per_step"]
+        assert hi["link_syms_per_step"] < 1.2 * 180.0
+        assert lo["harq_mean_rounds"] > hi["harq_mean_rounds"]
+        assert 0.0 <= lo["harq_residual_fail_rate"] <= 1.0
+
+    def test_harq_transparent_same_params(self, key):
+        # The flag changes only the link: same params apply cleanly and
+        # produce finite Q-values with and without HARQ.
+        import jax.numpy as jnp
+
+        from multimodal_sc_tpu.envs import driving
+        from multimodal_sc_tpu.rl.perception import QNetwork
+
+        cfg0 = self._cfg()
+        cfg1 = self._cfg("channel.harq=true")
+        states = driving.reset_batch(cfg0.env, key, 2)
+        img, pts, mask = driving.observe_batch(cfg0.env, states)
+        params = QNetwork(cfg0).init(key, img, pts, mask,
+                                     jax.random.key(0))["params"]
+        q0 = QNetwork(cfg0).apply({"params": params}, img, pts, mask,
+                                  jax.random.key(1))
+        q1 = QNetwork(cfg1).apply({"params": params}, img, pts, mask,
+                                  jax.random.key(1))
+        assert np.all(np.isfinite(np.asarray(q0)))
+        assert np.all(np.isfinite(np.asarray(q1)))

@@ -201,6 +201,19 @@ class TestConfigValidation:
         with pytest.raises(ValueError, match="modulation"):
             cfg.validate()
 
+    def test_fusion_task_rejects_vq_camera(self):
+        # ADVICE r4 (medium): c3 + camera.arch=vq used to pass validation
+        # while fusion_jscc silently built the analog CNN (and channel.fec
+        # then passed while coding nothing).
+        cfg = msc.get_preset("c3").override_str(["camera.arch=vq"])
+        with pytest.raises(ValueError, match="fusion"):
+            cfg.validate()
+
+    def test_lidar_vq_requires_enabled_on_recon_tasks(self):
+        cfg = msc.get_preset("c1").override_str(["lidar.arch=vq"])
+        with pytest.raises(ValueError, match="lidar.enabled"):
+            cfg.validate()
+
     def test_valid_presets_pass(self):
         for name in ("c1", "c2", "c3", "c4", "c5"):
             msc.get_preset(name).validate()

@@ -97,3 +97,65 @@ def test_shape_mismatch_raises_not_corrupts(tmp_path, key):
     dqn_state = dqn_lib.init(c4, jax.random.key(1), num_envs=2)
     with pytest.raises(ValueError, match="mapped nothing"):
         load_jscc_into_perception(c4, dqn_state.params, ckpt)
+
+
+def test_analog_to_analog_warmstart_warns_nothing(tmp_path, key):
+    """ADVICE r4 (low): the digital-trunk assignment rows are gated on the
+    TARGET tree, so an analog c3 -> analog c4 warm-start must not emit a
+    misleading "skipped ['lid_to_code', ...]" warning for modules that
+    exist in neither source nor target."""
+    import warnings
+
+    from multimodal_sc_tpu.train import fusion_jscc
+
+    c3 = msc.get_preset("c3").override_str(
+        CAM + ["camera.arch=cnn", "lidar.pillar_dim=16", "lidar.c_sym=2",
+               "lidar.bev_hw=8,8"])
+    ckpt = _save(tmp_path, fusion_jscc.create_train_state(c3, key), "c3ok")
+
+    c4 = msc.get_preset("c4").override_str(TINY)
+    dqn_state = dqn_lib.init(c4, jax.random.key(1), num_envs=2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        loaded, names = load_jscc_into_perception(
+            c4, dqn_state.params, ckpt, return_loaded=True)
+    skips = [str(x.message) for x in w if "skipped" in str(x.message)]
+    assert skips == [], f"spurious skip warning: {skips}"
+    assert "lid_sym_head" in names and "lid_to_code" not in names
+
+
+def test_analog_source_into_vq_trunk_reports_missing_codebook(tmp_path, key):
+    """ADVICE r4 (low): warm-starting a digital (lidar.arch=vq) trunk from
+    an ANALOG c3 checkpoint maps the shared pillar trunk but NOT the
+    codebook — return_loaded exposes that so the drivers re-seed it
+    (train/dqn.py / train/ppo.py), and seed_vq_codebook_params with
+    seed_lidar=True then replaces the collapsed default init."""
+    from multimodal_sc_tpu.rl.warmstart import seed_vq_codebook_params
+    from multimodal_sc_tpu.train import fusion_jscc
+
+    c3 = msc.get_preset("c3").override_str(
+        CAM + ["camera.arch=cnn", "lidar.pillar_dim=16", "lidar.c_sym=2",
+               "lidar.bev_hw=8,8"])
+    ckpt = _save(tmp_path, fusion_jscc.create_train_state(c3, key), "c3a")
+
+    c4 = msc.get_preset("c4").override_str(
+        TINY + ["lidar.arch=vq", "lidar.vq_dim=8", "lidar.vq_codes=16"])
+    dqn_state = dqn_lib.init(c4, jax.random.key(1), num_envs=2)
+    warm, names = load_jscc_into_perception(
+        c4, dqn_state.params, ckpt, return_loaded=True)
+    assert "pfn" in names and "lid_backbone" in names
+    assert "lid_codebook" not in names
+
+    before = np.asarray(warm["perception"]["lid_codebook"])
+    seeded = seed_vq_codebook_params(c4, warm, seed_camera=False,
+                                     seed_lidar=True)
+    after = np.asarray(seeded["perception"]["lid_codebook"])
+    assert after.shape == before.shape
+    # Data-dependent seeding spreads the rows far beyond the tight
+    # default-init cluster (the collapse signature).
+    assert np.std(after) > np.std(before)
+    # Camera (analog) untouched.
+    for a, b in zip(
+            jax.tree_util.tree_leaves(seeded["perception"]["cam_enc"]),
+            jax.tree_util.tree_leaves(warm["perception"]["cam_enc"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
