@@ -208,6 +208,35 @@ def decode_vlc(codec: HuffmanCodec, bits: Array, total_len: Array,
     return jax.vmap(one)(bits, total_len)
 
 
+def decode_vlc_np(codec: HuffmanCodec, bits: np.ndarray,
+                  total_len: np.ndarray, n_tokens: int) -> np.ndarray:
+    """Host (numpy) twin of :func:`decode_vlc` — the receiver-side
+    sequential automaton walk. Used by the SNR-sweep evaluator: a
+    ~17k-iteration ``lax.scan`` per image is a pathological TPU graph
+    (measured: TPU-internal compile/runtime error through the tunnel,
+    r5), while the host walk is microseconds per image and bit-identical
+    (tested against decode_vlc)."""
+    ch = np.asarray(codec.children)
+    emit = np.asarray(codec.emit)
+    bits = np.asarray(bits)
+    total_len = np.asarray(total_len)
+    b = bits.shape[0]
+    out = np.zeros((b, n_tokens), np.int32)
+    for i in range(b):
+        node = 0
+        cnt = 0
+        for j in range(int(total_len[i])):
+            if cnt >= n_tokens:
+                break
+            node = ch[node, bits[i, j]]
+            sym = emit[node]
+            if sym >= 0:
+                out[i, cnt] = sym
+                cnt += 1
+                node = 0
+    return out
+
+
 def transmit_vlc(codec: HuffmanCodec, idx_tx: Array, snr_db, kind: str,
                  key: Array, n_tokens: int, **channel_kw):
     """The full variable-length link: encode -> zero-power-padded QPSK ->

@@ -167,9 +167,16 @@ def vector_quantize(z_e: Array, codebook: Array, beta: float = 0.25,
         k = codebook.shape[0]
         counts = jnp.zeros((k,), jnp.int32).at[idx].add(1)
         err = d2[jnp.arange(flat.shape[0]), idx]             # (BN,)
-        _, worst = jax.lax.top_k(err, k)
+        # Tiny batches (e.g. the 1-example init forward) can have fewer
+        # rows than codes — tile the worst rows up to K.
+        kk = min(k, flat.shape[0])
+        _, worst = jax.lax.top_k(err, kk)
+        cand = flat[worst]
+        if kk < k:
+            reps = -(-k // kk)                               # ceil
+            cand = jnp.tile(cand, (reps, 1))[:k]
         stats = {"counts": jax.lax.stop_gradient(counts),
-                 "candidates": jax.lax.stop_gradient(flat[worst])}
+                 "candidates": jax.lax.stop_gradient(cand)}
         idx_r = idx.reshape(z_e.shape[:-1]).astype(jnp.int32)
         return z_ste, idx_r, vq_loss, stats
     idx = idx.reshape(z_e.shape[:-1]).astype(jnp.int32)

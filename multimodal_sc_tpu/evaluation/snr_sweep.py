@@ -485,12 +485,15 @@ def sweep_lidar_vq_entropy(
     """
     import functools
 
+    from multimodal_sc_tpu.channel.digital import bits_to_qpsk, qpsk_to_bits
     from multimodal_sc_tpu.channel.entropy_coding import (
         build_huffman,
+        decode_vlc_np,
+        encode_vlc,
         entropy_bits,
         topk_remap,
-        transmit_vlc,
     )
+    from multimodal_sc_tpu.channel.layer import channel as channel_op
     from multimodal_sc_tpu.codec.semantic_vq import transmit_indices
     from multimodal_sc_tpu.train.fusion_jscc import build_lidar_codec
 
@@ -544,16 +547,20 @@ def sweep_lidar_vq_entropy(
                 {"params": params}, rx_full, method="decode_tokens"))
             out["index_err_full"] = jnp.mean(
                 (rx_full != idx_tx).astype(jnp.float32))
-            # Huffman VLC
-            rx_vlc, info = transmit_vlc(
-                codec, idx_tx, snr_vec, kind, jax.random.fold_in(k, 1),
-                n_tok, **ch_kw)
-            out["miou_vlc"] = _miou(model.apply(
-                {"params": params}, rx_vlc, method="decode_tokens"))
-            out["index_err_vlc"] = jnp.mean(
-                (rx_vlc != idx_tx).astype(jnp.float32))
-            out["syms_vlc"] = info["symbols_per_item"]
-            out["bits_per_token_vlc"] = info["bits_per_token"]
+            # Huffman VLC: TPU transmits (encode + zero-power-padded QPSK
+            # + hard bits); the sequential automaton decode runs on the
+            # HOST (decode_vlc_np — a ~17k-step lax.scan is a
+            # pathological TPU graph; measured TPU-internal error, r5).
+            bits_tx, total = encode_vlc(codec, idx_tx)
+            sym = bits_to_qpsk(bits_tx)
+            active = (jnp.arange(sym.shape[1])[None, :] * 2
+                      < total[:, None]).astype(jnp.float32)
+            y = channel_op(sym * active[..., None], snr_vec, kind,
+                           jax.random.fold_in(k, 1), normalize=False,
+                           modulation=0, **ch_kw)
+            out["syms_vlc"] = jnp.mean(jnp.ceil(total / 2.0))
+            out["bits_per_token_vlc"] = (
+                jnp.mean(total.astype(jnp.float32)) / n_tok)
             # top-k re-alphabet
             small_tx = full_to_small[idx_tx]
             small_rx = transmit_indices(cfg_k.channel, small_tx,
@@ -564,14 +571,27 @@ def sweep_lidar_vq_entropy(
                 {"params": params}, rx_fixed, method="decode_tokens"))
             out["index_err_fixed"] = jnp.mean(
                 (rx_fixed != kept[small_tx]).astype(jnp.float32))
-            return out
+            return out, idx_tx, qpsk_to_bits(y), total
+
+        @functools.partial(jax.jit)
+        def vlc_metrics(params, idx_rx, idx_tx):
+            m = _miou(model.apply({"params": params}, idx_rx,
+                                  method="decode_tokens"))
+            err = jnp.mean((idx_rx != idx_tx).astype(jnp.float32))
+            return m, err
 
         curve = []
         for si, snr_db in enumerate(snrs_db):
             acc: Dict[str, list] = {}
             for b in range(batches_per_point):
                 k = jax.random.fold_in(key, ki * 100000 + si * 100 + b)
-                o = point(params, float(snr_db), k)
+                o, idx_tx, bits_rx, total = point(params, float(snr_db), k)
+                idx_rx = jnp.asarray(decode_vlc_np(
+                    codec, bits_rx, total, n_tok))
+                mv, ev = vlc_metrics(params, idx_rx, idx_tx)
+                o = dict(o)
+                o["miou_vlc"] = mv
+                o["index_err_vlc"] = ev
                 for name, v in o.items():
                     acc.setdefault(name, []).append(float(v))
             row = {"snr_db": float(snr_db)}

@@ -164,3 +164,21 @@ class TestEvaluator:
         assert hi["syms_fixed"] == 8 * 8 * 2 / 2
         for name in ("miou_full", "miou_vlc", "miou_fixed"):
             assert 0.0 <= hi[name] <= 1.0
+
+
+def test_host_decode_matches_in_graph(key):
+    """decode_vlc_np (the evaluator's host-side receiver) is bit-identical
+    to the in-graph automaton — including under channel errors."""
+    from multimodal_sc_tpu.channel.entropy_coding import decode_vlc_np
+
+    p = np.random.default_rng(7).dirichlet(np.full(16, 0.2))
+    codec = build_huffman(p)
+    idx = jax.random.randint(key, (4, 32), 0, 16)
+    bits, total = encode_vlc(codec, idx)
+    # Clean and corrupted streams.
+    flip = jax.random.bernoulli(jax.random.fold_in(key, 1), 0.05,
+                                bits.shape).astype(bits.dtype)
+    for b in (bits, (bits + flip) % 2):
+        a = decode_vlc(codec, b, total, 32)
+        h = decode_vlc_np(codec, np.asarray(b), np.asarray(total), 32)
+        np.testing.assert_array_equal(np.asarray(a), h)

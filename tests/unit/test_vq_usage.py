@@ -122,6 +122,16 @@ class TestStatsAndReseed:
             else:
                 np.testing.assert_array_equal(new[k], np.asarray(cands)[k])
 
+    def test_stats_with_fewer_rows_than_codes(self, key):
+        # The RL init forward quantizes ONE example (64 camera tokens vs
+        # 256 codes): candidates must tile up to K instead of crashing
+        # (r5 regression — the first c4_digital arm died here).
+        z = jax.random.normal(key, (1, 2, 2, 3))      # 4 rows
+        cb = jax.random.normal(jax.random.fold_in(key, 1), (16, 3))
+        _, idx, _, stats = vector_quantize(z, cb, with_stats=True)
+        assert stats["candidates"].shape == (16, 3)
+        assert int(np.sum(np.asarray(stats["counts"]))) == idx.size
+
     def test_reseed_rate_zero_keeps_everything(self, key):
         cb = jnp.ones((6, 2))
         counts = jnp.zeros((6,), jnp.int32)
